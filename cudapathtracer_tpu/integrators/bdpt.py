@@ -1,0 +1,195 @@
+"""Fixed 2+3-vertex bidirectional path tracer.
+
+Vectorized re-derivation of the reference's live integrator
+``radianceAlongSingleStep`` (kernel.cu:217-415): a 2-vertex light subpath,
+a 3-vertex camera subpath (vertex 4 is the camera itself), and an
+UNWEIGHTED sum over the four (i, j) in {0,1}x{2,3} connection strategies —
+the reference applies no MIS, and adds the camera-first-hit emission once
+per connection (4x total, kernel.cu:410), which brightens by strategy
+count. Non-physical, but it is what produced the BDPT-FirstAttempt keeper,
+so it is replicated exactly (SURVEY.md §7: "replicate for parity, flag as
+non-physical").
+
+The path arrays x[0..4]/norm/mat/invProb (kernel.cu:224-227) become static
+Python lists of (R,)-batched values; the connection double loop is unrolled
+at trace time (4 combinations), each with one masked shadow trace gated by
+the reference's throughput cutoff (max channel > 0.01, kernel.cu:394-398 —
+note contributions below the cutoff are ZEROED, not passed through).
+
+Deviation from the reference (documented): at the second camera bounce the
+reference reads ``scene.tris[intersect.triIndex]`` without a miss check
+(kernel.cu:336) — triIndex is -1 on miss, an out-of-bounds read returning
+garbage. We clamp to triangle 0; the numeric effect is already suppressed
+by the reference's own G guards (G==0 or NaN -> 1, kernel.cu:339-342).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.rng import Sites, uniform_site
+from ..ops.sampling import (
+    cosine_hemisphere,
+    pick_light,
+    sample_triangle_point,
+    triangle_areas,
+    uniform_hemisphere,
+)
+from ..ops.vecmath import (
+    Vec3,
+    dot,
+    gather,
+    length,
+    max_component,
+    normalized_safe,
+    where,
+)
+from ..utils.constants import (
+    EPS_HIT,
+    EPS_VISIBILITY,
+    MAX_FLOAT,
+    PI_REF,
+    THROUGHPUT_CUTOFF,
+)
+
+
+class BDPTParams(NamedTuple):
+    orthonormal_frame: bool = False  # reference: unnormalized frame (quirk)
+
+
+LIGHT_PATH_SIZE = 2   # kernel.cu:219
+CAMERA_PATH_SIZE = 3  # kernel.cu:220
+PATH_SIZE = LIGHT_PATH_SIZE + CAMERA_PATH_SIZE
+CAM_IND = PATH_SIZE - 1
+
+
+def _nan_to(val, repl):
+    return jnp.where(jnp.isnan(val), repl, val)
+
+
+def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, key,
+                  params: BDPTParams = BDPTParams()) -> Vec3:
+    """Estimate radiance for R camera rays. trace_fn(o, d, mask) -> Hit."""
+    R = o.x.shape[0]
+    areas = triangle_areas(scene, scene.lights)
+    total_area = scene.total_light_area
+    all_on = jnp.ones((R,), bool)
+
+    x = [None] * PATH_SIZE
+    norm = [None] * PATH_SIZE
+    mat = [None] * PATH_SIZE
+    inv_prob = [None] * PATH_SIZE
+
+    # ---- light subpath vertex 0: point on a light (kernel.cu:230-267) ----
+    u_pick = uniform_site(key, Sites.BDPT_LIGHT_PICK, (R,))
+    sel = pick_light(total_area * u_pick, areas, scene.lights)
+    lu = uniform_site(key, Sites.BDPT_LIGHT_U, (R,))
+    lv = uniform_site(key, Sites.BDPT_LIGHT_V, (R,))
+    lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
+    lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
+    lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))
+    lnorm = gather(scene.tri_norm, sel)
+    # offset by normal*0.001 (kernel.cu:261)
+    p = sample_triangle_point(lv0, lv1 - lv0, lv2 - lv0, lu, lv)
+    x[0] = p + lnorm * EPS_HIT
+    norm[0] = lnorm
+    mat[0] = jnp.take(scene.tri_mat, sel, mode="clip")
+    inv_prob[0] = jnp.broadcast_to(total_area, (R,))
+
+    # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
+    u1 = uniform_site(key, Sites.BDPT_LIGHT_DIR_U1, (R,))
+    u2 = uniform_site(key, Sites.BDPT_LIGHT_DIR_U2, (R,))
+    o_dir = uniform_hemisphere(norm[0], u1, u2, params.orthonormal_frame)
+    hit = trace_fn(x[0], o_dir, all_on)
+    t = hit.t - EPS_HIT
+    missed = t > MAX_FLOAT - 1.0
+    tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
+    t = jnp.where(missed, 0.0, t)
+    n2 = gather(scene.tri_norm, tri)
+    g = jnp.abs(dot(n2, o_dir)) / jnp.maximum(EPS_HIT, t * t)  # kernel.cu:292
+    x[1] = x[0] + o_dir * t
+    norm[1] = n2
+    mat[1] = jnp.take(scene.tri_mat, tri, mode="clip")
+    inv_prob[1] = 2.0 * PI_REF / g
+
+    # ---- camera vertex 4: the camera itself (kernel.cu:301-305) ----------
+    x[CAM_IND] = o
+    norm[CAM_IND] = d  # stores the *direction* (reference quirk)
+    mat[CAM_IND] = jnp.zeros((R,), jnp.int32)  # never read (see module doc)
+    inv_prob[CAM_IND] = jnp.ones((R,))
+
+    # ---- camera vertex 3: first hit (kernel.cu:306-328) ------------------
+    hit = trace_fn(o, d, all_on)
+    t = hit.t - EPS_HIT
+    missed = t > MAX_FLOAT - 1.0
+    tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
+    t = jnp.where(missed, 0.0, t)
+    x[3] = o + d * t
+    norm[3] = gather(scene.tri_norm, tri)
+    mat[3] = jnp.take(scene.tri_mat, tri, mode="clip")
+    inv_prob[3] = jnp.ones((R,))
+
+    # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
+    cu1 = uniform_site(key, Sites.BDPT_CAM_BOUNCE_U1, (R,))
+    cu2 = uniform_site(key, Sites.BDPT_CAM_BOUNCE_U2, (R,))
+    d2dir = cosine_hemisphere(norm[3], cu1, cu2, params.orthonormal_frame)
+    hit2 = trace_fn(x[3], d2dir, all_on)
+    t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here
+    tri2 = jnp.maximum(hit2.tri, 0)  # clamp (reference reads OOB on miss)
+    n22 = gather(scene.tri_norm, tri2)
+    g2 = jnp.abs(dot(norm[3], d2dir) * dot(n22, d2dir)) / (t2 * t2)
+    g2 = jnp.where(g2 == 0.0, 1.0, g2)   # kernel.cu:339-340
+    g2 = _nan_to(g2, 1.0)                # kernel.cu:341-342
+    x[2] = x[3] + d2dir * t2
+    norm[2] = n22
+    mat[2] = jnp.take(scene.tri_mat, tri2, mode="clip")
+    inv_prob[2] = PI_REF / g2
+
+    # ---- connections (kernel.cu:350-412) ---------------------------------
+    albedos = [gather(scene.mat_albedo, mat[k]) for k in range(PATH_SIZE)]
+    l_e = gather(scene.mat_emission, mat[0])
+    cam_hit_emission = gather(scene.mat_emission, mat[PATH_SIZE - 2])
+
+    accum = Vec3.zeros((R,))
+
+    def seg_factor(k):
+        """f_s * G * invProb for path segment (k-1, k) (kernel.cu:362-371)."""
+        seg = x[k] - x[k - 1]
+        ray = normalized_safe(seg)
+        g = jnp.abs(dot(ray, norm[k]) * dot(ray, norm[k - 1]))
+        g = g / dot(seg, seg)
+        g = _nan_to(g, 0.0)  # kernel.cu:367-368
+        f_s = albedos[k] * (1.0 / PI_REF)
+        return f_s * (g * inv_prob[k])
+
+    for i in range(LIGHT_PATH_SIZE):           # i in {0, 1}
+        for j in range(LIGHT_PATH_SIZE, PATH_SIZE - 1):  # j in {2, 3}
+            weight = l_e * inv_prob[0]
+            for k in range(1, i + 1):           # light side
+                weight = weight * seg_factor(k)
+            for k in range(j + 1, PATH_SIZE - 1):  # camera side
+                weight = weight * seg_factor(k)
+
+            # middle link (kernel.cu:384-407)
+            seg = x[j] - x[i]
+            seg_len = length(seg)
+            ray = normalized_safe(seg)
+            g = jnp.maximum(0.0, dot(ray, norm[j]) * dot(-ray, norm[i]))
+            g = g / dot(seg, seg)
+            g = _nan_to(g, 0.0)
+            f_s = albedos[j] * (1.0 / PI_REF)
+            weight = weight * (f_s * (g * inv_prob[j]))
+
+            m = max_component(weight)
+            bright = m > THROUGHPUT_CUTOFF      # kernel.cu:394-398
+            sh = trace_fn(x[i], ray, bright)    # masked shadow trace
+            visible = jnp.abs(sh.t - seg_len) <= EPS_VISIBILITY
+            v = (bright & visible).astype(jnp.float32)
+            weight = weight * v
+
+            accum = accum + weight
+            accum = accum + cam_hit_emission    # kernel.cu:410 (4x quirk)
+
+    return accum

@@ -1,0 +1,146 @@
+"""Unidirectional path tracer with next-event estimation.
+
+Vectorized re-derivation of the reference's ``radianceAlongSingleStep2``
+(kernel.cu:417-515) — the integrator behind the cornell-original and sponza
+keepers. The per-thread bounce loop becomes a ``lax.scan`` over bounce index
+with (R,)-batched state; every branch is a masked select, so all R lanes run
+in lockstep on the VPU.
+
+Reference semantics preserved exactly (each with its file:line):
+
+* hit bookkeeping: t -= 0.001; t < 0.001 kills the path weight; miss
+  (t > MAX_FLOAT-1) kills weight and clamps to triangle 0 (kernel.cu:431-441).
+* emission: accumulate weight*emission then kill the path — tested via
+  ``emission.r != 0`` only (kernel.cu:453-457).
+* 50/50 branch between a cosine-weighted BRDF bounce (weight *= albedo;
+  the 2x branch-probability compensation is ABSENT in the reference and so
+  absent here by default — ``branch_pdf_correction`` adds it;
+  kernel.cu:459-464) and an explicit light sample (kernel.cu:467-507).
+* the light sample does NOT trace a shadow ray: it relies on the next
+  bounce's trace hitting the light, and forces the loop to run exactly one
+  more iteration via ``i = max(i, NUM_BOUNCES-2)`` (kernel.cu:507) — modeled
+  here with a ``remaining`` counter clamped to 1.
+* the light-side cosine uses a HARD-CODED light normal (0,-1,0)
+  (kernel.cu:503) — our cornell light faces down so this is exact;
+  ``light_normal_mode='true'`` generalizes to the sampled triangle's actual
+  normal (SURVEY.md §7: "replicate for cornell parity; generalize behind a
+  flag").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rng import Sites, uniform_site
+from ..ops.sampling import (
+    cosine_hemisphere,
+    pick_light,
+    sample_triangle_point,
+    triangle_areas,
+)
+from ..ops.vecmath import Vec3, dot, gather, normalized_safe, where
+from ..utils.constants import EPS_HIT, MAX_FLOAT, PI_REF
+
+
+class PTParams(NamedTuple):
+    num_bounces: int = 3
+    orthonormal_frame: bool = False      # reference: unnormalized (quirk)
+    light_normal_mode: str = "fixed"     # 'fixed' = (0,-1,0) quirk; 'true'
+    branch_pdf_correction: bool = False  # reference omits the 2x (quirk)
+
+
+def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, key,
+                    params: PTParams = PTParams()) -> Vec3:
+    """Estimate radiance for R rays. trace_fn(o, d, mask) -> Hit."""
+    R = o.x.shape[0]
+    areas = triangle_areas(scene, scene.lights)  # (L,) differentiable
+    total_area = scene.total_light_area
+
+    zero = Vec3.zeros((R,))
+    one = Vec3.full((R,), 1.0, 1.0, 1.0)
+
+    def bounce(carry, b):
+        o, d, weight, accum, remaining = carry
+        active = remaining > 0
+
+        hit = trace_fn(o, d, active)
+        t = hit.t - EPS_HIT                       # kernel.cu:431
+        near = t < EPS_HIT                        # kernel.cu:432-435
+        missed = t > MAX_FLOAT - 1.0              # kernel.cu:436-441
+        weight = where(near | missed, zero, weight)
+        tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
+        t = jnp.where(missed, 0.0, t)
+
+        normal = gather(scene.tri_norm, tri)
+        mat = jnp.take(scene.tri_mat, tri, mode="clip")
+        albedo = gather(scene.mat_albedo, mat)
+        emission = gather(scene.mat_emission, mat)
+        pos = o + d * t
+
+        # emission accumulation + path kill (kernel.cu:453-457)
+        is_emissive = emission.x != 0.0
+        add = where(active & is_emissive, weight * emission, zero)
+        accum = accum + add
+        weight = where(is_emissive, zero, weight)
+
+        # 50/50 branch (kernel.cu:459-460)
+        a = uniform_site(key, Sites.BSDF_CHOICE, (R,), bounce=b)
+        brdf_branch = a < 0.5
+
+        # --- branch A: cosine BRDF bounce (kernel.cu:462-464) -------------
+        u1 = uniform_site(key, Sites.BSDF_U1, (R,), bounce=b)
+        u2 = uniform_site(key, Sites.BSDF_U2, (R,), bounce=b)
+        l_brdf = cosine_hemisphere(normal, u1, u2, params.orthonormal_frame)
+        w_brdf = weight * albedo  # BRDF * pi = albedo (kernel.cu:463)
+        if params.branch_pdf_correction:
+            w_brdf = w_brdf * 2.0
+
+        # --- branch B: explicit light sample (kernel.cu:467-507) ----------
+        u = uniform_site(key, Sites.LIGHT_PICK, (R,), bounce=b)
+        sel = pick_light(total_area * u, areas, scene.lights)
+        lu = uniform_site(key, Sites.LIGHT_U, (R,), bounce=b)
+        lv = uniform_site(key, Sites.LIGHT_V, (R,), bounce=b)
+        lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
+        lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
+        lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))
+        # no normal offset in the PT light sample (kernel.cu:497)
+        p1 = sample_triangle_point(lv0, lv1 - lv0, lv2 - lv0, lu, lv)
+        dvec = p1 - pos
+        l_nee = normalized_safe(dvec)
+        if params.light_normal_mode == "fixed":
+            light_n = Vec3.full((R,), 0.0, -1.0, 0.0)  # kernel.cu:503 quirk
+        else:
+            light_n = gather(scene.tri_norm, sel)
+        cos_l = jnp.maximum(0.0, dot(l_nee, normal))
+        cos_o1 = jnp.maximum(0.0, dot(light_n, -l_nee))
+        d2 = dot(dvec, dvec)
+        g = cos_l * cos_o1 / jnp.where(d2 > 0.0, d2, 1.0)
+        w_nee = weight * albedo * ((1.0 / PI_REF) * g * total_area)
+        if params.branch_pdf_correction:
+            w_nee = w_nee * 2.0
+
+        # select branch, advance ray (kernel.cu:510-511)
+        l_dir = where(brdf_branch, l_brdf, l_nee)
+        new_weight = where(brdf_branch, w_brdf, w_nee)
+
+        new_remaining = remaining - 1
+        # kernel.cu:507 ``i = max(i, NUM_BOUNCES - 2)``: exactly one more
+        # bounce after a light sample.
+        new_remaining = jnp.where(
+            brdf_branch, new_remaining, jnp.minimum(new_remaining, 1)
+        )
+
+        o = where(active, pos, o)
+        d = where(active, l_dir, d)
+        weight = where(active, new_weight, weight)
+        remaining = jnp.where(active, new_remaining, remaining)
+        return (o, d, weight, accum, remaining), None
+
+    init = (o, d, one, zero, jnp.full((R,), params.num_bounces, jnp.int32))
+    (o, d, weight, accum, remaining), _ = jax.lax.scan(
+        bounce, init, jnp.arange(params.num_bounces)
+    )
+    return accum

@@ -1,0 +1,81 @@
+"""Thin-lens camera with Morton pixel ordering (reference: camera.h).
+
+``camera_rays`` generates the whole image's primary rays in one vectorized
+call — the per-thread ``cameraRay`` (camera.h:77-97) becomes a batch op over
+Morton indices. Semantics replicated exactly:
+
+* film mapping ``pxlToFilm``: x/W - 0.5 (no half-pixel centering, a
+  reference quirk — there is no sub-pixel jitter either, so every sample of
+  a pixel shoots the identical primary ray when radius == 0; camera.h:36-43).
+  Optional jitter is available behind ``jitter=True`` (SURVEY.md §7 ledger:
+  "replicate default, add jitter option").
+* lens sample r = radius*sqrt(u1), theta = 2*pi*u2 (camera.h:86-88).
+* direction = normalize(film_point * (-focalLength/distFromFilm) - lens_o),
+  origin = cam.pos + lens_o (camera.h:90-94). Note the reference sets
+  posRelFilm.z = distFromFilm *before* the scale, so the z component becomes
+  -focalLength: the camera looks down -z.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.rng import Sites, uniform_site
+from ..ops.vecmath import Vec3, normalized
+from ..utils.constants import PI_REF
+from ..utils.morton import morton_decode
+
+
+class Camera(NamedTuple):
+    pos: Vec3                 # scalars packed in a Vec3
+    dist_from_film: jnp.ndarray
+    focal_length: jnp.ndarray
+    radius: jnp.ndarray       # aperture; 0 = pinhole (live config kernel.cu:646)
+    width: int                # static
+    height: int               # static
+
+
+def make_camera(pos=(0.0, 1.0, 3.0), dist_from_film=1.0, focal_length=3.0,
+                radius=0.0, width=512, height=512) -> Camera:
+    """Defaults = the reference's hard-coded camera (kernel.cu:643-648)."""
+    return Camera(
+        pos=Vec3(*(jnp.float32(p) for p in pos)),
+        dist_from_film=jnp.float32(dist_from_film),
+        focal_length=jnp.float32(focal_length),
+        radius=jnp.float32(radius),
+        width=width,
+        height=height,
+    )
+
+
+def camera_rays(cam: Camera, idx, key, jitter: bool = False):
+    """Primary rays for Morton indices ``idx`` (shape (R,)).
+
+    ``key`` is the per-sample RNG key; lens uniforms use the LENS site — one
+    *independent* pair per pixel, which also fixes the reference's
+    randState[0] race (kernel.cu:547) where all pixels shared one lens
+    sample stream.
+    """
+    x, y = morton_decode(idx)
+    fx = x.astype(jnp.float32) / cam.width - 0.5
+    fy = y.astype(jnp.float32) / cam.height - 0.5
+    if jitter:
+        jx = uniform_site(key, Sites.PIXEL_JITTER_X, fx.shape)
+        jy = uniform_site(key, Sites.PIXEL_JITTER_Y, fy.shape)
+        fx = fx + jx / cam.width
+        fy = fy + jy / cam.height
+
+    u1 = uniform_site(key, Sites.LENS, fx.shape)
+    u2 = uniform_site(key, Sites.LENS + 100, fx.shape)
+    r = cam.radius * jnp.sqrt(u1)
+    theta = 2.0 * PI_REF * u2
+    lens = Vec3(r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r))
+
+    scale = -cam.focal_length / cam.dist_from_film
+    film = Vec3(fx * scale, fy * scale, cam.dist_from_film * scale)
+
+    o = lens + cam.pos
+    d = normalized(film - lens)
+    return o, d

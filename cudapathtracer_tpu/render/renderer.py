@@ -1,0 +1,198 @@
+"""Progressive renderer: sample loop, running-mean accumulation, finalize.
+
+The reference's render loop launches one kernel per progressive sample and
+folds it into a running mean ``img = prev*(n-1)/n + sample/n``
+(kernel.cu:709-736, 551-552). Here one jit'd call renders a *batch* of
+samples (``lax.fori_loop`` inside jit — far fewer dispatches than the
+reference's one-launch-per-sample), and the accumulation state is an
+explicit pytree so rendering is resumable by construction (SURVEY.md §5.4:
+saving (accumulator, sample count, key) suffices — exactly what
+utils/checkpoint.py persists).
+
+The reference accumulates in double (color.h:6); TPUs have no fast f64, so
+the accumulator is f32 with optional Kahan compensated summation
+(``cfg.compensated_accum``) of the running-mean update, which keeps the
+effective accumulation error near f64 levels at 256+ spp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import build_bvh
+from ..integrators.bdpt import BDPTParams, radiance_bdpt
+from ..integrators.pt_nee import PTParams, radiance_pt_nee
+from ..ops import traversal
+from ..ops.rng import sample_key
+from ..ops.vecmath import Vec3
+from ..utils.color import finalize as color_finalize
+from ..utils.color import quantize_u8
+from ..utils.config import RenderConfig
+from ..utils.morton import morton_to_scanline_perm
+from .camera import Camera, camera_rays
+
+
+class AccumState(NamedTuple):
+    """Resumable accumulation state (Morton pixel order)."""
+
+    img: Vec3                 # (R,) running mean
+    comp: Vec3                # (R,) Kahan compensation (zeros if disabled)
+    n: jnp.ndarray            # () i32 — samples accumulated so far
+
+
+def init_accum(cfg: RenderConfig) -> AccumState:
+    r = cfg.num_pixels
+    return AccumState(
+        img=Vec3.zeros((r,)),
+        comp=Vec3.zeros((r,)),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _accum_update(state: AccumState, sample: Vec3,
+                  compensated: bool) -> AccumState:
+    """Running mean (kernel.cu:551-552), optionally Kahan-compensated."""
+    n = state.n + 1
+    nf = n.astype(jnp.float32)
+    if not compensated:
+        img = state.img * ((nf - 1.0) / nf) + sample * (1.0 / nf)
+        return AccumState(img=img, comp=state.comp, n=n)
+
+    # Kahan: track the low-order bits lost by the running-mean update.
+    def kahan(mean, comp, s):
+        delta = (s - mean) / nf       # increment toward the new mean
+        y = delta - comp
+        t = mean + y
+        comp_new = (t - mean) - y
+        return t, comp_new
+
+    ix, cx = kahan(state.img.x, state.comp.x, sample.x)
+    iy, cy = kahan(state.img.y, state.comp.y, sample.y)
+    iz, cz = kahan(state.img.z, state.comp.z, sample.z)
+    return AccumState(img=Vec3(ix, iy, iz), comp=Vec3(cx, cy, cz), n=n)
+
+
+def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
+    """Build the trace closure the integrators consume.
+
+    Returns (trace_fn, trace_data). For the 'bvh' path the FlatBVH must be
+    prebuilt on host (build_bvh) and is closed over as a pytree so it can be
+    donated/replicated.
+    """
+    if cfg.traversal == "brute":
+        def trace_fn(o, d, mask):
+            return traversal.trace_bruteforce(o, d, scene, mask=mask)
+
+        return trace_fn, None
+
+    assert bvh is not None, "bvh traversal requires a prebuilt FlatBVH"
+    td = traversal.make_trace_data(scene, bvh)
+
+    def trace_fn(o, d, mask):
+        return traversal.trace(o, d, td, mask=mask)
+
+    return trace_fn, td
+
+
+def _radiance(o, d, scene, trace_fn, key, cfg: RenderConfig) -> Vec3:
+    if cfg.integrator == "pt_nee":
+        params = PTParams(
+            num_bounces=cfg.num_bounces,
+            orthonormal_frame=cfg.orthonormal_frame,
+            light_normal_mode=cfg.light_normal_mode,
+            branch_pdf_correction=cfg.branch_pdf_correction,
+        )
+        return radiance_pt_nee(o, d, scene, trace_fn, key, params)
+    params = BDPTParams(orthonormal_frame=cfg.orthonormal_frame)
+    return radiance_bdpt(o, d, scene, trace_fn, key, params)
+
+
+def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
+                 state: AccumState, num_samples: int) -> AccumState:
+    """Render ``num_samples`` progressive samples into ``state``.
+
+    Pure function of its inputs — jit it (cfg/num_samples static), donate
+    ``state``. The sample index for RNG derivation is the *global* count
+    ``state.n + i``, so resuming from a checkpoint reproduces the identical
+    image as an uninterrupted run (tested).
+    """
+    trace_fn, _ = make_trace_fn(scene, cfg, bvh)
+    idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+
+    def one_sample(i, st: AccumState) -> AccumState:
+        key = sample_key(base_key, st.n)
+        o, d = camera_rays(cam, idx, key, jitter=cfg.jitter)
+        sample = _radiance(o, d, scene, trace_fn, key, cfg)
+        return _accum_update(st, sample, cfg.compensated_accum)
+
+    return jax.lax.fori_loop(0, num_samples, one_sample, state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_samples"), donate_argnums=(5,))
+def render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
+                     num_samples: int) -> AccumState:
+    return render_batch(scene, bvh, cam, cfg, base_key, state, num_samples)
+
+
+def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
+           bvh=None, state: AccumState | None = None,
+           progress_cb=None) -> AccumState:
+    """Full progressive render. Builds the BVH if needed (host, like the
+    reference's buildBVH before the loop, kernel.cu:601), then renders
+    ``cfg.spp`` samples in ``cfg.samples_per_call`` chunks.
+
+    ``seed=1234`` mirrors the reference's curand seed (kernel.cu:532).
+    """
+    if cfg.traversal == "bvh" and bvh is None:
+        bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+    if state is None:
+        state = init_accum(cfg)
+    base_key = jax.random.PRNGKey(seed)
+
+    done = int(state.n)
+    while done < cfg.spp:
+        todo = min(cfg.samples_per_call, cfg.spp - done)
+        state = render_batch_jit(scene, bvh, cam, cfg, base_key, state, todo)
+        done += todo
+        if progress_cb is not None:
+            progress_cb(done, state)
+    return state
+
+
+def build_bvh_for_scene(scene, leaf_size: int = 4):
+    verts = np.stack(
+        [np.asarray(scene.verts.x), np.asarray(scene.verts.y),
+         np.asarray(scene.verts.z)], axis=1
+    )
+    tris = np.stack(
+        [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+         np.asarray(scene.tri_v2)], axis=1
+    )
+    flat, _meta = build_bvh(verts, tris, leaf_size)
+    return flat
+
+
+def finalize_image(state: AccumState, cfg: RenderConfig):
+    """Morton de-swizzle to scanline, Reinhard + gamma, quantize to u8
+    (H, W, 3) — the PPM writer's pixel loop, vectorized (kernel.cu:764-778).
+    """
+    perm = morton_to_scanline_perm(cfg.width, cfg.height)
+    img = Vec3(
+        jnp.take(state.img.x, perm),
+        jnp.take(state.img.y, perm),
+        jnp.take(state.img.z, perm),
+    )
+    c = color_finalize(img)
+    u8 = quantize_u8(c)
+    return np.asarray(u8).reshape(cfg.height, cfg.width, 3)
+
+
+def write_render(path, state: AccumState, cfg: RenderConfig):
+    from ..utils.ppm import write_ppm
+
+    write_ppm(path, finalize_image(state, cfg), flip_x=True)

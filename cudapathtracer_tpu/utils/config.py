@@ -1,0 +1,48 @@
+"""Render configuration.
+
+The reference configures everything at compile time: a #define block
+(IMAGE 512x512, NUM_SAMPLES=100, NUM_BOUNCES=3, kernel.cu:28-35) plus
+hard-coded scene and camera in main() (kernel.cu:590-648). This dataclass is
+the replacement (SURVEY.md §5.6): one frozen, hashable config object passed
+as a static jit argument.
+
+Note the reference's sample loop runs sampleNum = 1..NUM_SAMPLES-1, i.e.
+NUM_SAMPLES=100 accumulates 99 samples (kernel.cu:709-710). Our ``spp`` is
+the honest count of samples actually accumulated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    spp: int = 99                   # reference-equivalent default (see above)
+    num_bounces: int = 3            # kernel.cu:33
+    integrator: str = "bdpt"        # 'bdpt' (live, kernel.cu:549) | 'pt_nee'
+    traversal: str = "bvh"          # 'bvh' | 'brute'
+    leaf_size: int = 4
+    samples_per_call: int = 1       # progressive granularity (checkpoint unit)
+    # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)
+    orthonormal_frame: bool = False
+    light_normal_mode: str = "fixed"
+    branch_pdf_correction: bool = False
+    jitter: bool = False
+    # accumulation
+    compensated_accum: bool = True  # Kahan compensation (reference uses f64)
+
+    @property
+    def num_pixels(self):
+        return self.width * self.height
+
+    def __post_init__(self):
+        assert self.width > 0 and (self.width & (self.width - 1)) == 0, (
+            "width must be a power of two (Morton indexing)"
+        )
+        assert self.height > 0 and (self.height & (self.height - 1)) == 0
+        assert self.integrator in ("bdpt", "pt_nee")
+        assert self.traversal in ("bvh", "brute")
+        assert self.light_normal_mode in ("fixed", "true")
