@@ -1,0 +1,85 @@
+"""Headline benchmark: rays/s on the sponza-class stress scene, real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Mrays/s using the reference's own accounting
+(kernel.cu:757: rays = width*height*spp*(bounces+1)), on our sponza-stand-in
+``colonnade`` scene (the real sponza OBJ is not shipped with the reference —
+models/ is .gitignored). Baseline: the reference's best hand-recorded sponza
+run, 1170 ms for 512^2 x 100 x 4 rays (metricsForSponza.txt:8, "best
+occupancy") => 89.6 Mrays/s on its contemporary GPU. vs_baseline = ours /
+89.6.
+
+Config follows BASELINE.md's target shape (sponza-scale scene at 1024^2);
+spp here is a measurement window, not a quality setting — throughput is
+flat across spp because every sample is the same program.
+
+Env knobs: BENCH_SPP (default 4), BENCH_SIZE (default 1024), BENCH_SUBDIV
+(colonnade sphere subdiv, default 3 => ~44k tris).
+"""
+
+import json
+import os
+import time
+
+BASELINE_MRAYS = 512 * 512 * 100 * 4 / (1170.0 * 1000.0)  # 89.61
+
+
+def main():
+    import jax
+
+    from cudapathtracer_tpu import RenderConfig, init_accum, make_camera
+    from cudapathtracer_tpu.models import procedural
+    from cudapathtracer_tpu.render.renderer import (
+        build_bvh_for_scene,
+        render_batch_jit,
+    )
+
+    spp = int(os.environ.get("BENCH_SPP", "4"))
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    subdiv = int(os.environ.get("BENCH_SUBDIV", "3"))
+
+    desc = procedural.colonnade(subdiv=subdiv)
+    scene = procedural.to_scene(desc)
+    cfg = RenderConfig(width=size, height=size, spp=spp,
+                       integrator="pt_nee", samples_per_call=spp)
+    t0 = time.time()
+    bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+    t_build = time.time() - t0
+    cam = make_camera(pos=(0.0, 2.5, 8.0), width=size, height=size,
+                      focal_length=3.0)
+    key = jax.random.PRNGKey(1234)
+
+    # warmup / compile (1 sample)
+    st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg), 1)
+    st.img.x.block_until_ready()
+
+    # timed window: spp samples
+    t0 = time.time()
+    st = render_batch_jit(scene, bvh, cam, cfg, key, st, spp)
+    st.img.x.block_until_ready()
+    dt = time.time() - t0
+
+    rays = cfg.num_pixels * spp * (cfg.num_bounces + 1)
+    mrays = rays / dt / 1e6
+    result = {
+        "metric": "Mrays/s (colonnade %dk tris, %d^2, pt_nee, %d bounces)" % (
+            scene.num_tris // 1000, size, cfg.num_bounces
+        ),
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }
+    print(json.dumps(result))
+    # extra context on stderr (driver only parses stdout JSON)
+    import sys
+
+    print(
+        f"# tris={scene.num_tris} bvh_build={t_build:.2f}s "
+        f"window={dt:.2f}s spp={spp} device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

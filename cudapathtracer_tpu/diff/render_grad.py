@@ -1,0 +1,192 @@
+"""Differentiable rendering: pixel gradients w.r.t. scene parameters.
+
+The reference has no gradients at all — this module is the north-star
+extension (BASELINE.json: "hand-derived backward pass ... pixel gradients
+w.r.t. vertex positions, sphere params, and BSDF albedo/emission").
+
+Design — the detach trick (standard in differentiable rendering, cf. Dr.Jit
+PAPERS.md): the BVH hit *search* is discrete and wrapped in stop_gradient
+(ops/traversal.py), but once the hit triangle id is known, its intersection
+distance is re-evaluated analytically (``ray_triangle_t_unchecked``) as a
+differentiable function of the ray and the triangle's vertices. Everything
+downstream — hit position, face normal (via ``recompute_derived``), BSDF,
+light-pick areas/pdfs, geometric factors — is plain JAX math, so reverse
+mode delivers d(pixel)/d(verts, albedo, emission) through the *continuous*
+part of the estimator exactly.
+
+What this does NOT yet cover: visibility discontinuities (silhouette
+motion). Moving a vertex changes which pixels see which triangle; that
+gradient needs edge/boundary sampling (reparameterized integrals). The API
+reserves ``edge_samples`` for it; with the default 0 the estimator is the
+interior-only gradient, validated against finite differences on smooth
+regions (tests/test_diff.py). Planned: boundary term via reparameterized
+edge sampling per the north star.
+
+RNG note: gradients are taken with the SAME sample keys as the primal
+render (common random numbers), so d(loss)/d(param) finite-difference
+checks converge without Monte-Carlo noise dominating.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..integrators.bdpt import BDPTParams, radiance_bdpt
+from ..integrators.pt_nee import PTParams, radiance_pt_nee
+from ..models.scene import Scene, recompute_derived
+from ..ops.intersect import ray_triangle_t_unchecked
+from ..ops.rng import pixel_keys, sample_key
+from ..ops.traversal import Hit
+from ..ops.vecmath import Vec3, gather
+from ..render.camera import camera_rays
+from ..utils.config import RenderConfig
+
+
+def make_diff_trace_fn(scene: Scene, base_trace_fn):
+    """Wrap a discrete trace so the returned t is differentiable.
+
+    base_trace_fn(o, d, mask) -> Hit with stop-grad t. The wrapper gathers
+    the hit triangle's vertices from the (differentiable) scene and
+    re-evaluates t; misses keep the MAX_FLOAT sentinel with zero tangent.
+    """
+
+    def diff_trace(o: Vec3, d: Vec3, mask) -> Hit:
+        hit = base_trace_fn(o, d, mask)
+        tri = jnp.maximum(hit.tri, 0)
+        v0 = gather(scene.verts, jnp.take(scene.tri_v0, tri, mode="clip"))
+        v1 = gather(scene.verts, jnp.take(scene.tri_v1, tri, mode="clip"))
+        v2 = gather(scene.verts, jnp.take(scene.tri_v2, tri, mode="clip"))
+        t_re = ray_triangle_t_unchecked(o, d, v0, v1, v2)
+        t = jnp.where(hit.tri >= 0, t_re, hit.t)
+        return Hit(tri=hit.tri, t=t)
+
+    return diff_trace
+
+
+def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
+                      spp: int, bvh=None, trace_data=None, idx=None) -> Vec3:
+    """Differentiable expected-radiance image (Morton order, (R,) Vec3).
+
+    Renders ``spp`` samples under ``lax.scan`` with per-sample
+    rematerialization (jax.checkpoint) so backward memory is O(1 sample),
+    and averages. The scene's derived quantities (face normals, light area)
+    are recomputed from verts inside this function so vertex gradients flow
+    through shading and light pdfs.
+
+    ``idx``: optional Morton pixel tile (the sharded gradient pass gives
+    each chip its own tile; RNG keys on pixel index, so results are
+    position-independent).
+    """
+    scene = recompute_derived(scene)
+
+    if cfg.traversal == "brute":
+        from ..ops import traversal as trav
+
+        def base_trace(o, d, mask):
+            return trav.trace_bruteforce(o, d, scene, mask=mask)
+    else:
+        from ..ops import traversal as trav
+
+        td = trace_data
+        if td is None:
+            assert bvh is not None, "need bvh or trace_data"
+            td = trav.make_trace_data(scene, bvh)
+
+        def base_trace(o, d, mask):
+            return trav.trace(o, d, td, mask=mask)
+
+    trace_fn = make_diff_trace_fn(scene, base_trace)
+    if idx is None:
+        idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    r = idx.shape[0]
+
+    if cfg.integrator == "pt_nee":
+        params = PTParams(
+            num_bounces=cfg.num_bounces,
+            orthonormal_frame=cfg.orthonormal_frame,
+            light_normal_mode=cfg.light_normal_mode,
+            branch_pdf_correction=cfg.branch_pdf_correction,
+        )
+
+        def radiance(o, d, keys):
+            return radiance_pt_nee(o, d, scene, trace_fn, keys, params)
+    else:
+        bparams = BDPTParams(orthonormal_frame=cfg.orthonormal_frame)
+
+        def radiance(o, d, keys):
+            return radiance_bdpt(o, d, scene, trace_fn, keys, bparams)
+
+    @jax.checkpoint
+    def one_sample(acc: Vec3, s):
+        keys = pixel_keys(sample_key(base_key, s), idx)
+        o, d = camera_rays(cam, idx, keys, jitter=cfg.jitter)
+        return acc + radiance(o, d, keys), None
+
+    acc, _ = jax.lax.scan(one_sample, Vec3.zeros((r,)), jnp.arange(spp))
+    return acc * (1.0 / spp)
+
+
+class GradTargets(NamedTuple):
+    """The differentiable parameter bundle (BASELINE.json grad targets)."""
+
+    verts: Vec3
+    albedo: Vec3
+    emission: Vec3
+    sph_center: Vec3
+    sph_radius: jnp.ndarray
+
+
+def targets_of(scene: Scene) -> GradTargets:
+    return GradTargets(
+        verts=scene.verts,
+        albedo=scene.mat_albedo,
+        emission=scene.mat_emission,
+        sph_center=scene.sph_center,
+        sph_radius=scene.sph_radius,
+    )
+
+
+def scene_with(scene: Scene, p: GradTargets) -> Scene:
+    return scene._replace(
+        verts=p.verts,
+        mat_albedo=p.albedo,
+        mat_emission=p.emission,
+        sph_center=p.sph_center,
+        sph_radius=p.sph_radius,
+    )
+
+
+def l2_loss(img: Vec3, target: Vec3):
+    dx = img.x - target.x
+    dy = img.y - target.y
+    dz = img.z - target.z
+    return jnp.mean(dx * dx + dy * dy + dz * dz)
+
+
+def make_loss_fn(scene: Scene, cam, cfg: RenderConfig, base_key, spp: int,
+                 bvh=None):
+    """loss(params, target_image) -> scalar, differentiable in params.
+
+    NOTE the BVH topology is frozen from the input scene: vertex gradients
+    are valid for perturbations small enough not to escape their (padded)
+    leaf boxes — re-build the BVH between optimizer steps (inverse-rendering
+    loops do this on host; the reference has no analogue).
+    """
+
+    def loss(params: GradTargets, target: Vec3):
+        s = scene_with(scene, params)
+        img = render_image_diff(s, cam, cfg, base_key, spp, bvh=bvh)
+        return l2_loss(img, target)
+
+    return loss
+
+
+def render_and_grad(scene: Scene, cam, cfg: RenderConfig, base_key,
+                    spp: int, target: Vec3, bvh=None):
+    """(loss, GradTargets cotangents) — the backward pass entry point."""
+    loss_fn = make_loss_fn(scene, cam, cfg, base_key, spp, bvh=bvh)
+    return jax.value_and_grad(loss_fn)(targets_of(scene), target)

@@ -69,7 +69,7 @@ def _nan_to(val, repl):
     return jnp.where(jnp.isnan(val), repl, val)
 
 
-def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, key,
+def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
                   params: BDPTParams = BDPTParams()) -> Vec3:
     """Estimate radiance for R camera rays. trace_fn(o, d, mask) -> Hit."""
     R = o.x.shape[0]
@@ -83,10 +83,10 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, key,
     inv_prob = [None] * PATH_SIZE
 
     # ---- light subpath vertex 0: point on a light (kernel.cu:230-267) ----
-    u_pick = uniform_site(key, Sites.BDPT_LIGHT_PICK, (R,))
+    u_pick = uniform_site(keys, Sites.BDPT_LIGHT_PICK)
     sel = pick_light(total_area * u_pick, areas, scene.lights)
-    lu = uniform_site(key, Sites.BDPT_LIGHT_U, (R,))
-    lv = uniform_site(key, Sites.BDPT_LIGHT_V, (R,))
+    lu = uniform_site(keys, Sites.BDPT_LIGHT_U)
+    lv = uniform_site(keys, Sites.BDPT_LIGHT_V)
     lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
     lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
     lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))
@@ -99,8 +99,8 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, key,
     inv_prob[0] = jnp.broadcast_to(total_area, (R,))
 
     # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
-    u1 = uniform_site(key, Sites.BDPT_LIGHT_DIR_U1, (R,))
-    u2 = uniform_site(key, Sites.BDPT_LIGHT_DIR_U2, (R,))
+    u1 = uniform_site(keys, Sites.BDPT_LIGHT_DIR_U1)
+    u2 = uniform_site(keys, Sites.BDPT_LIGHT_DIR_U2)
     o_dir = uniform_hemisphere(norm[0], u1, u2, params.orthonormal_frame)
     hit = trace_fn(x[0], o_dir, all_on)
     t = hit.t - EPS_HIT
@@ -132,8 +132,8 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, key,
     inv_prob[3] = jnp.ones((R,))
 
     # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
-    cu1 = uniform_site(key, Sites.BDPT_CAM_BOUNCE_U1, (R,))
-    cu2 = uniform_site(key, Sites.BDPT_CAM_BOUNCE_U2, (R,))
+    cu1 = uniform_site(keys, Sites.BDPT_CAM_BOUNCE_U1)
+    cu2 = uniform_site(keys, Sites.BDPT_CAM_BOUNCE_U2)
     d2dir = cosine_hemisphere(norm[3], cu1, cu2, params.orthonormal_frame)
     hit2 = trace_fn(x[3], d2dir, all_on)
     t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here

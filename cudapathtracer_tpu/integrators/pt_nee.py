@@ -52,9 +52,12 @@ class PTParams(NamedTuple):
     branch_pdf_correction: bool = False  # reference omits the 2x (quirk)
 
 
-def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, key,
+def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
                     params: PTParams = PTParams()) -> Vec3:
-    """Estimate radiance for R rays. trace_fn(o, d, mask) -> Hit."""
+    """Estimate radiance for R rays. trace_fn(o, d, mask) -> Hit.
+
+    ``keys``: per-pixel key batch for this sample (ops/rng.pixel_keys).
+    """
     R = o.x.shape[0]
     areas = triangle_areas(scene, scene.lights)  # (L,) differentiable
     total_area = scene.total_light_area
@@ -87,22 +90,22 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, key,
         weight = where(is_emissive, zero, weight)
 
         # 50/50 branch (kernel.cu:459-460)
-        a = uniform_site(key, Sites.BSDF_CHOICE, (R,), bounce=b)
+        a = uniform_site(keys, Sites.BSDF_CHOICE, bounce=b)
         brdf_branch = a < 0.5
 
         # --- branch A: cosine BRDF bounce (kernel.cu:462-464) -------------
-        u1 = uniform_site(key, Sites.BSDF_U1, (R,), bounce=b)
-        u2 = uniform_site(key, Sites.BSDF_U2, (R,), bounce=b)
+        u1 = uniform_site(keys, Sites.BSDF_U1, bounce=b)
+        u2 = uniform_site(keys, Sites.BSDF_U2, bounce=b)
         l_brdf = cosine_hemisphere(normal, u1, u2, params.orthonormal_frame)
         w_brdf = weight * albedo  # BRDF * pi = albedo (kernel.cu:463)
         if params.branch_pdf_correction:
             w_brdf = w_brdf * 2.0
 
         # --- branch B: explicit light sample (kernel.cu:467-507) ----------
-        u = uniform_site(key, Sites.LIGHT_PICK, (R,), bounce=b)
+        u = uniform_site(keys, Sites.LIGHT_PICK, bounce=b)
         sel = pick_light(total_area * u, areas, scene.lights)
-        lu = uniform_site(key, Sites.LIGHT_U, (R,), bounce=b)
-        lv = uniform_site(key, Sites.LIGHT_V, (R,), bounce=b)
+        lu = uniform_site(keys, Sites.LIGHT_U, bounce=b)
+        lv = uniform_site(keys, Sites.LIGHT_V, bounce=b)
         lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
         lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
         lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))

@@ -95,6 +95,23 @@ def ray_triangle_verts(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
     return ray_triangle(o, d, v0, v1 - v0, v2 - v0)
 
 
+def ray_triangle_t_unchecked(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
+    """Moller-Trumbore t WITHOUT hit tests — for a triangle already known to
+    be hit (found by the discrete trace). Fully differentiable w.r.t. every
+    input: this is how the detach-trick backward pass attaches d(t)/d(verts)
+    and d(t)/d(ray) after the non-differentiable BVH search
+    (diff/render_grad.py; cf. Dr.Jit's attached/detached intersection
+    split, PAPERS.md)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    q = cross(d, e2)
+    a = dot(e1, q)
+    safe_a = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    s = (o - v0) * (1.0 / safe_a)
+    r = cross(s, e1)
+    return dot(e2, r)
+
+
 def ray_sphere(o: Vec3, d: Vec3, center: Vec3, radius):
     """Ray-sphere intersection (sphere.h:7-13 capability).
 

@@ -3,15 +3,23 @@
 The reference keeps one mutable cuRAND XORWOW state per pixel
 (kernel.cu:527-533) and even has a live data race on state 0 for the lens
 samples (kernel.cu:547). The TPU design removes stateful RNG entirely:
-every random draw is a pure function of (base seed, sample index, draw-site
-id), via JAX threefry key folding. Sequences differ from cuRAND but the
-statistics match, which is the parity contract (SURVEY.md §7 "RNG sequence
-semantics": match statistics, not streams).
+every random draw is a pure function of
+
+    (base seed, sample index, PIXEL INDEX, draw-site id [, bounce])
+
+via threefry key folding. Sequences differ from cuRAND but the statistics
+match, which is the parity contract (SURVEY.md §7 "RNG sequence semantics":
+match statistics, not streams).
+
+Keying on the *pixel index* (not the array position) is what makes the
+multi-chip path exact: a chip rendering the tile idx[a:b] draws the same
+uniforms for pixel i as a single chip rendering the whole image — so a
+shard_map render is bit-identical to the unsharded one (tested in
+tests/test_parallel.py).
 
 A "site" is a static integer identifying a draw location in the integrator
-(e.g. LENS_U1, BSDF_CHOICE at bounce b). Each ``uniform_site`` call yields an
-independent (R,) batch of uniforms — one value per pixel — so there is no
-cross-pixel state and no race by construction.
+(e.g. LENS_U1, BSDF_CHOICE at bounce b); sites are enumerated in ``Sites``
+so no two collide.
 """
 
 from __future__ import annotations
@@ -25,29 +33,39 @@ def sample_key(base_key, sample_index):
     return jax.random.fold_in(base_key, sample_index)
 
 
-def site_key(key, site: int, bounce=None):
-    k = jax.random.fold_in(key, site)
-    if bounce is not None:
-        k = jax.random.fold_in(k, bounce)
-    return k
+def pixel_keys(skey, idx):
+    """Per-pixel keys for this sample: fold the Morton pixel index in.
+
+    idx: (R,) uint32. Returns a (R,)-batched key array (the TPU-pure
+    analogue of the reference's per-pixel curandState array,
+    kernel.cu:527-533 — minus the mutability and the state-0 race).
+    """
+    return jax.vmap(lambda i: jax.random.fold_in(skey, i))(idx)
 
 
-def uniform_site(key, site: int, shape, bounce=None, dtype=jnp.float32):
-    """(0, 1] uniforms, one per element of ``shape``.
+def uniform_site(keys, site: int, bounce=None, dtype=jnp.float32):
+    """(0, 1] uniforms, one per key.
 
     NOTE: jax.random.uniform is [0, 1); curand_uniform is (0, 1]. The
     integrators' inequalities were written for (0, 1] (e.g. the light-pick
     scan requires randArea > 0 strictly, kernel.cu:241). We map u -> 1 - u
     to reproduce the open-at-zero interval.
     """
-    u = jax.random.uniform(site_key(key, site, bounce), shape, dtype)
-    return 1.0 - u
+
+    def one(k):
+        kk = jax.random.fold_in(k, site)
+        if bounce is not None:
+            kk = jax.random.fold_in(kk, bounce)
+        return jax.random.uniform(kk, (), dtype)
+
+    return 1.0 - jax.vmap(one)(keys)
 
 
 # Draw-site ids (arbitrary distinct constants, kept in one place so no two
 # sites collide).
 class Sites:
-    LENS = 1
+    LENS_U1 = 1
+    LENS_U2 = 101
     BSDF_CHOICE = 2
     BSDF_U1 = 3
     BSDF_U2 = 4

@@ -160,6 +160,11 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    # TraceData is derived from scene.verts and may carry tangents under
+    # jax.grad; while_loop has no transpose rule, so sever them here — the
+    # differentiable path re-evaluates the found primitive analytically
+    # (diff/render_grad.py).
+    td = jax.lax.stop_gradient(td)
     R = o.x.shape[0]
     N = td.num_nodes
     L = td.leaf_tri.shape[1]
@@ -251,6 +256,7 @@ def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
+    scene = jax.lax.stop_gradient(scene)  # hit search is discrete
     T = scene.num_tris
     # Pre-pack triangle SoA, padded to a chunk multiple with degenerates.
     Tp = ((T + chunk - 1) // chunk) * chunk

@@ -50,25 +50,25 @@ def make_camera(pos=(0.0, 1.0, 3.0), dist_from_film=1.0, focal_length=3.0,
     )
 
 
-def camera_rays(cam: Camera, idx, key, jitter: bool = False):
+def camera_rays(cam: Camera, idx, keys, jitter: bool = False):
     """Primary rays for Morton indices ``idx`` (shape (R,)).
 
-    ``key`` is the per-sample RNG key; lens uniforms use the LENS site — one
-    *independent* pair per pixel, which also fixes the reference's
-    randState[0] race (kernel.cu:547) where all pixels shared one lens
-    sample stream.
+    ``keys`` are the per-pixel keys for this sample (ops/rng.pixel_keys);
+    lens uniforms use the LENS sites — one *independent* pair per pixel,
+    which also fixes the reference's randState[0] race (kernel.cu:547)
+    where all pixels shared one lens sample stream.
     """
     x, y = morton_decode(idx)
     fx = x.astype(jnp.float32) / cam.width - 0.5
     fy = y.astype(jnp.float32) / cam.height - 0.5
     if jitter:
-        jx = uniform_site(key, Sites.PIXEL_JITTER_X, fx.shape)
-        jy = uniform_site(key, Sites.PIXEL_JITTER_Y, fy.shape)
+        jx = uniform_site(keys, Sites.PIXEL_JITTER_X)
+        jy = uniform_site(keys, Sites.PIXEL_JITTER_Y)
         fx = fx + jx / cam.width
         fy = fy + jy / cam.height
 
-    u1 = uniform_site(key, Sites.LENS, fx.shape)
-    u2 = uniform_site(key, Sites.LENS + 100, fx.shape)
+    u1 = uniform_site(keys, Sites.LENS_U1)
+    u2 = uniform_site(keys, Sites.LENS_U2)
     r = cam.radius * jnp.sqrt(u1)
     theta = 2.0 * PI_REF * u2
     lens = Vec3(r * jnp.cos(theta), r * jnp.sin(theta), jnp.zeros_like(r))

@@ -28,7 +28,7 @@ from ..accel.bvh import build_bvh
 from ..integrators.bdpt import BDPTParams, radiance_bdpt
 from ..integrators.pt_nee import PTParams, radiance_pt_nee
 from ..ops import traversal
-from ..ops.rng import sample_key
+from ..ops.rng import pixel_keys, sample_key
 from ..ops.vecmath import Vec3
 from ..utils.color import finalize as color_finalize
 from ..utils.color import quantize_u8
@@ -99,7 +99,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
     return trace_fn, td
 
 
-def _radiance(o, d, scene, trace_fn, key, cfg: RenderConfig) -> Vec3:
+def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig) -> Vec3:
     if cfg.integrator == "pt_nee":
         params = PTParams(
             num_bounces=cfg.num_bounces,
@@ -107,27 +107,34 @@ def _radiance(o, d, scene, trace_fn, key, cfg: RenderConfig) -> Vec3:
             light_normal_mode=cfg.light_normal_mode,
             branch_pdf_correction=cfg.branch_pdf_correction,
         )
-        return radiance_pt_nee(o, d, scene, trace_fn, key, params)
+        return radiance_pt_nee(o, d, scene, trace_fn, keys, params)
     params = BDPTParams(orthonormal_frame=cfg.orthonormal_frame)
-    return radiance_bdpt(o, d, scene, trace_fn, key, params)
+    return radiance_bdpt(o, d, scene, trace_fn, keys, params)
 
 
 def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
-                 state: AccumState, num_samples: int) -> AccumState:
+                 state: AccumState, num_samples: int,
+                 idx=None) -> AccumState:
     """Render ``num_samples`` progressive samples into ``state``.
 
     Pure function of its inputs — jit it (cfg/num_samples static), donate
     ``state``. The sample index for RNG derivation is the *global* count
     ``state.n + i``, so resuming from a checkpoint reproduces the identical
     image as an uninterrupted run (tested).
+
+    ``idx``: Morton pixel indices this call covers (default: whole image).
+    The multi-chip path (parallel/shard.py) passes each chip its own tile
+    of indices; because the RNG is keyed on (sample, pixel-index) and not
+    on array position, a sharded render is bit-identical to single-chip.
     """
     trace_fn, _ = make_trace_fn(scene, cfg, bvh)
-    idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    if idx is None:
+        idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
     def one_sample(i, st: AccumState) -> AccumState:
-        key = sample_key(base_key, st.n)
-        o, d = camera_rays(cam, idx, key, jitter=cfg.jitter)
-        sample = _radiance(o, d, scene, trace_fn, key, cfg)
+        keys = pixel_keys(sample_key(base_key, st.n), idx)
+        o, d = camera_rays(cam, idx, keys, jitter=cfg.jitter)
+        sample = _radiance(o, d, scene, trace_fn, keys, cfg)
         return _accum_update(st, sample, cfg.compensated_accum)
 
     return jax.lax.fori_loop(0, num_samples, one_sample, state)

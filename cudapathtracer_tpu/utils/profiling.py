@@ -1,0 +1,93 @@
+"""Instrumentation: timing, throughput, watchdog, traversal heatmaps.
+
+TPU-native equivalents of the reference's three mechanisms (SURVEY.md §5.1):
+
+* cudaEvent render-loop timer + Mrays/s report (kernel.cu:704-757)
+  -> ``RenderTimer`` (wall clock around block_until_ready'd batches) with
+  the reference's ray-accounting formula.
+* per-sample >0.5 s watchdog (kernel.cu:712-723) -> ``RenderTimer.lap``
+  warns through ``on_slow``.
+* per-triangle BVH leaf-visit histogram dumped to out.csv
+  (kernel.cu:133, 742-750) -> ``ops.traversal.trace(with_stats=True)``
+  already returns the histogram; ``dump_visit_csv`` writes the same
+  one-value-per-line CSV.
+
+For deep profiles use ``jax.profiler.trace`` around a render batch and
+inspect with TensorBoard/XProf — exposed here as ``profile_trace``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+def mrays_per_sec(num_pixels: int, spp: int, bounces: int, seconds: float):
+    """The reference's accounting: rays = pixels * spp * (bounces+1)
+    (kernel.cu:757)."""
+    return num_pixels * spp * (bounces + 1) / seconds / 1e6
+
+
+class RenderTimer:
+    """Wall-clock timing of progressive batches with a slow-lap watchdog."""
+
+    def __init__(self, slow_threshold_s: float = 0.5, on_slow=None):
+        self.slow_threshold_s = slow_threshold_s
+        self.on_slow = on_slow or (lambda msg: print(msg))
+        self.laps = []
+        self._t0 = None
+        self._start = None
+
+    def start(self):
+        self._start = self._t0 = time.perf_counter()
+        return self
+
+    def lap(self, label=""):
+        t = time.perf_counter()
+        dt = t - self._t0
+        self._t0 = t
+        self.laps.append(dt)
+        if dt > self.slow_threshold_s:
+            # kernel.cu:722-723 wording kept recognizable
+            self.on_slow(
+                f"-----Possible too long execution of {dt:f} seconds----- "
+                f"{label}"
+            )
+        return dt
+
+    @property
+    def total(self):
+        return time.perf_counter() - self._start
+
+    def report(self, num_pixels: int, spp: int, bounces: int):
+        """The reference's end-of-render block (kernel.cu:752-757)."""
+        ms = self.total * 1000.0
+        return {
+            "total_ms": ms,
+            "ms_per_loop": ms / max(1, len(self.laps)),
+            "mrays_per_sec": mrays_per_sec(num_pixels, spp, bounces,
+                                           self.total),
+        }
+
+
+def dump_visit_csv(path, tri_visits):
+    """Per-triangle visit counts, one per line with trailing comma — the
+    exact out.csv shape the reference emits (kernel.cu:746-749)."""
+    v = np.asarray(tri_visits)
+    with open(path, "w") as f:
+        for x in v:
+            f.write(f"{int(x)},\n")
+
+
+@contextlib.contextmanager
+def profile_trace(logdir):
+    """jax.profiler capture around a block (view with xprof/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(str(logdir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
