@@ -76,7 +76,9 @@ def _build_recurse(lo, hi, centers, ids, leaf_size):
         return _Node(blo, bhi, tri_ids=ids, depth=1)
 
     blo, bhi = _union_bounds(lo, hi)
-    total_w = _surface(blo, bhi)
+    # double-precision SAH throughout (matches native/bvh_builder.cpp and
+    # the reference's double score, BVH.h:196)
+    total_w = _surface(blo.astype(np.float64), bhi.astype(np.float64))
 
     # Bin centroids into the 3x3x3 grid (BVH.h:181-192, with the wrong-box
     # bug fixed: bins union the *working set's* boxes).
@@ -121,7 +123,14 @@ def _build_recurse(lo, hi, centers, ids, leaf_size):
 
             wl = side_weight(sel_l, cl)
             wr = side_weight(sel_r, cr)
-            score = cl * wl / total_w + cr * wr / total_w
+            # double-precision score, exactly like the native twin
+            # (native/bvh_builder.cpp) and the reference (BVH.h:196,246-248
+            # uses double) — float32 here would tie-break differently and
+            # produce a structurally different (equally valid) tree.
+            score = (
+                float(cl) * float(wl) / float(total_w)
+                + float(cr) * float(wr) / float(total_w)
+            )
             if best is None or score < best[0]:
                 best = (score, axis, sl, cl, cr)
 
