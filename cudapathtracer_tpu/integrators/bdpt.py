@@ -41,9 +41,10 @@ from ..ops.vecmath import (
     Vec3,
     dot,
     gather,
-    length,
     max_component,
     normalized_safe,
+    safe_div,
+    safe_length,
     where,
 )
 from ..utils.constants import (
@@ -63,10 +64,6 @@ LIGHT_PATH_SIZE = 2   # kernel.cu:219
 CAMERA_PATH_SIZE = 3  # kernel.cu:220
 PATH_SIZE = LIGHT_PATH_SIZE + CAMERA_PATH_SIZE
 CAM_IND = PATH_SIZE - 1
-
-
-def _nan_to(val, repl):
-    return jnp.where(jnp.isnan(val), repl, val)
 
 
 def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
@@ -112,7 +109,10 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     x[1] = x[0] + o_dir * t
     norm[1] = n2
     mat[1] = jnp.take(scene.tri_mat, tri, mode="clip")
-    inv_prob[1] = 2.0 * PI_REF / g
+    # reference: 2π/g would be inf at g==0; downstream that inf meets a 0 and
+    # becomes NaN→0 via its nan guard. safe_div reaches the same 0 directly
+    # (and keeps the VJP NaN-free).
+    inv_prob[1] = safe_div(2.0 * PI_REF, g)
 
     # ---- camera vertex 4: the camera itself (kernel.cu:301-305) ----------
     x[CAM_IND] = o
@@ -139,9 +139,8 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here
     tri2 = jnp.maximum(hit2.tri, 0)  # clamp (reference reads OOB on miss)
     n22 = gather(scene.tri_norm, tri2)
-    g2 = jnp.abs(dot(norm[3], d2dir) * dot(n22, d2dir)) / (t2 * t2)
-    g2 = jnp.where(g2 == 0.0, 1.0, g2)   # kernel.cu:339-340
-    g2 = _nan_to(g2, 1.0)                # kernel.cu:341-342
+    g2 = safe_div(jnp.abs(dot(norm[3], d2dir) * dot(n22, d2dir)), t2 * t2)
+    g2 = jnp.where(g2 == 0.0, 1.0, g2)   # kernel.cu:339-342 (0 and NaN -> 1)
     x[2] = x[3] + d2dir * t2
     norm[2] = n22
     mat[2] = jnp.take(scene.tri_mat, tri2, mode="clip")
@@ -159,8 +158,7 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
         seg = x[k] - x[k - 1]
         ray = normalized_safe(seg)
         g = jnp.abs(dot(ray, norm[k]) * dot(ray, norm[k - 1]))
-        g = g / dot(seg, seg)
-        g = _nan_to(g, 0.0)  # kernel.cu:367-368
+        g = safe_div(g, dot(seg, seg))  # NaN->0 (kernel.cu:367-368), grad-safe
         f_s = albedos[k] * (1.0 / PI_REF)
         return f_s * (g * inv_prob[k])
 
@@ -174,11 +172,10 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
 
             # middle link (kernel.cu:384-407)
             seg = x[j] - x[i]
-            seg_len = length(seg)
+            seg_len = safe_length(seg)
             ray = normalized_safe(seg)
             g = jnp.maximum(0.0, dot(ray, norm[j]) * dot(-ray, norm[i]))
-            g = g / dot(seg, seg)
-            g = _nan_to(g, 0.0)
+            g = safe_div(g, dot(seg, seg))
             f_s = albedos[j] * (1.0 / PI_REF)
             weight = weight * (f_s * (g * inv_prob[j]))
 

@@ -120,10 +120,32 @@ def normalized_safe(a: Vec3, eps: float = 1e-20) -> Vec3:
     Used where the reference would produce NaNs that are later multiplied by
     a zero weight anyway — keeping NaNs out lets us run with masked lanes
     instead of relying on 0*NaN behavior.
+
+    Double-``where`` so the VJP is NaN-free too: ``rsqrt`` must never see 0
+    even on the non-taken branch, or its cotangent is inf and 0*inf = NaN.
     """
     n2 = dot(a, a)
-    inv = jnp.where(n2 > eps, jax_rsqrt(n2), 0.0)
+    ok = n2 > eps
+    inv = jnp.where(ok, jax_rsqrt(jnp.where(ok, n2, 1.0)), 0.0)
     return a * inv
+
+
+def safe_div(num, den, eps: float = 0.0):
+    """``num / den`` that is 0 (value AND gradient) where ``|den| <= eps``.
+
+    The naive ``where(den != 0, num / den, 0)`` still differentiates the
+    division at den == 0, yielding NaN cotangents; the inner ``where``
+    replaces the unsafe denominator before the division is traced.
+    """
+    ok = jnp.abs(den) > eps
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+
+def safe_length(a: Vec3, eps: float = 0.0):
+    """sqrt(|a|^2) with a NaN-free gradient at the zero vector."""
+    n2 = dot(a, a)
+    ok = n2 > eps
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, n2, 1.0)), 0.0)
 
 
 def jax_rsqrt(x):
