@@ -50,15 +50,24 @@ def main():
                       focal_length=3.0)
     key = jax.random.PRNGKey(1234)
 
-    # warmup / compile (1 sample)
-    st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg), 1)
-    st.img.x.block_until_ready()
+    import numpy as np
 
-    # timed window: spp samples
-    t0 = time.time()
-    st = render_batch_jit(scene, bvh, cam, cfg, key, st, spp)
-    st.img.x.block_until_ready()
-    dt = time.time() - t0
+    # warmup / compile — must use the SAME num_samples as the timed window
+    # (num_samples is a static jit arg; a different value recompiles) and a
+    # host readback to really synchronize (block_until_ready is unreliable
+    # through remote-TPU tunnels).
+    st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg), spp)
+    float(np.asarray(st.img.x[0]))
+
+    # timed window: spp samples; best of 3 (the remote-TPU tunnel's host
+    # readback latency is noisy — minutes-level outliers observed)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg),
+                              spp)
+        float(np.asarray(st.img.x[0]))
+        dt = min(dt, time.time() - t0)
 
     rays = cfg.num_pixels * spp * (cfg.num_bounces + 1)
     mrays = rays / dt / 1e6

@@ -198,6 +198,48 @@ class BVHMeta(NamedTuple):
     num_tris: int
 
 
+class Accel(NamedTuple):
+    """Full acceleration bundle (a JAX pytree): the fine per-ray BVH plus
+    the coarse cluster level consumed by packet traversal (ops/packets.py).
+
+    The cluster level is simply the leaves of a second SAH build with
+    ``leaf_size = cluster_size``: cl_lo/cl_hi are the (K,) leaf boxes in
+    leaf-id order and cl_tri the (K, C) contiguous triangle blocks."""
+
+    fine: "FlatBVH"
+    cl_lo_x: jnp.ndarray
+    cl_lo_y: jnp.ndarray
+    cl_lo_z: jnp.ndarray
+    cl_hi_x: jnp.ndarray
+    cl_hi_y: jnp.ndarray
+    cl_hi_z: jnp.ndarray
+    cl_tri: jnp.ndarray
+
+
+def as_fine(bvh) -> "FlatBVH":
+    """Accept either an Accel bundle or a bare FlatBVH."""
+    return bvh.fine if isinstance(bvh, Accel) else bvh
+
+
+def clusters_from_flat(coarse: "FlatBVH"):
+    """Extract (cl_lo (K,3), cl_hi (K,3), cl_tri (K,C)) host arrays from a
+    coarse FlatBVH: its leaves, in leaf-id order."""
+    nl = np.asarray(coarse.node_leaf)
+    sel = np.flatnonzero(nl >= 0)
+    sel = sel[np.argsort(nl[sel])]  # preorder assignment => already sorted
+    lo = np.stack(
+        [np.asarray(coarse.node_lo_x)[sel],
+         np.asarray(coarse.node_lo_y)[sel],
+         np.asarray(coarse.node_lo_z)[sel]], axis=1
+    )
+    hi = np.stack(
+        [np.asarray(coarse.node_hi_x)[sel],
+         np.asarray(coarse.node_hi_y)[sel],
+         np.asarray(coarse.node_hi_z)[sel]], axis=1
+    )
+    return lo, hi, np.asarray(coarse.leaf_tri)
+
+
 def _subtree_size(node: _Node) -> int:
     """Number of flat nodes in this subtree (memoized on the node)."""
     sz = getattr(node, "_size", None)

@@ -105,9 +105,12 @@ def cmd_render(args):
 
     t0 = time.time()
     bvh = build_bvh_for_scene(scene, cfg.leaf_size) \
-        if cfg.traversal == "bvh" else None
+        if cfg.traversal in ("bvh", "packets") else None
     if bvh is not None:
-        print(f"bvh: {bvh.num_nodes} nodes, {bvh.num_leaves} leaves "
+        from .accel.bvh import as_fine
+
+        fine = as_fine(bvh)
+        print(f"bvh: {fine.num_nodes} nodes, {fine.num_leaves} leaves "
               f"({time.time()-t0:.2f}s)", file=sys.stderr)
 
     state = None
@@ -178,7 +181,9 @@ def cmd_heatmap(args):
     cam = make_camera(pos=tuple(args.camera), width=cfg.width,
                       height=cfg.height)
     bvh = build_bvh_for_scene(scene, cfg.leaf_size)
-    td = traversal.make_trace_data(scene, bvh)
+    from .accel.bvh import as_fine
+
+    td = traversal.make_trace_data(scene, as_fine(bvh))
     idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
     keys = pixel_keys(sample_key(jax.random.PRNGKey(args.seed), 0), idx)
     o, d = camera_rays(cam, idx, keys)

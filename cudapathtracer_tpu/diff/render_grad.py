@@ -94,7 +94,9 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
         td = trace_data
         if td is None:
             assert bvh is not None, "need bvh or trace_data"
-            td = trav.make_trace_data(scene, bvh)
+            from ..accel.bvh import as_fine
+
+            td = trav.make_trace_data(scene, as_fine(bvh))
 
         def base_trace(o, d, mask):
             return trav.trace(o, d, td, mask=mask)

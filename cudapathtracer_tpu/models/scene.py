@@ -129,7 +129,7 @@ def make_scene(
         sr = np.asarray(sr, np.float32).reshape(-1)
         sm = np.asarray(sm, np.int32).reshape(-1)
 
-    return Scene(
+    scene = Scene(
         verts=_as_vec3(verts),
         tri_v0=jnp.asarray(tri_indices[:, 0]),
         tri_v1=jnp.asarray(tri_indices[:, 1]),
@@ -144,6 +144,37 @@ def make_scene(
         sph_radius=jnp.asarray(sr),
         sph_mat=jnp.asarray(sm),
     )
+    register_host_geometry(scene, verts, tri_indices)
+    return scene
+
+
+# Host-side copies of scene geometry, keyed by the identity of the scene's
+# device vertex array. The BVH builder needs geometry on the host; reading
+# it back from a remote TPU can cost tens of seconds through a tunnel, and
+# every standard construction path starts from host arrays anyway.
+_HOST_GEOMETRY: dict = {}
+
+
+def register_host_geometry(scene: "Scene", verts, tri_indices):
+    import weakref
+
+    key = id(scene.verts.x)
+    _HOST_GEOMETRY[key] = (
+        np.asarray(verts, np.float32), np.asarray(tri_indices, np.int32)
+    )
+    try:
+        # evict when the device array dies so a recycled id can't alias
+        weakref.finalize(
+            scene.verts.x, lambda k=key: _HOST_GEOMETRY.pop(k, None)
+        )
+    except TypeError:
+        pass
+
+
+def host_geometry(scene: "Scene"):
+    """(verts (V,3) f32, tris (T,3) i32) host arrays, or None if this scene
+    was not built through make_scene (fall back to device readback)."""
+    return _HOST_GEOMETRY.get(id(scene.verts.x))
 
 
 def merge_scenes(a: Scene, b: Scene) -> Scene:

@@ -1,0 +1,258 @@
+"""Pallas TPU kernel: dense per-tile cluster intersection, VMEM-resident.
+
+The DMA-pipelined kernel (ops/pallas/dense.py) pays ~microseconds of
+control overhead per shortlist slot (DMA issue/wait, scalar syncs). For
+scenes whose packed cluster array fits in VMEM — a (K+1, 16, C) f32 block,
+8 KB per cluster at C=128, so ~2K clusters / ~260K triangles — we can pin
+the whole scene on-chip and make every slot a pure VPU iteration: one
+dynamic sublane slice + a (P, C) Moller-Trumbore sweep. No DMA in the loop
+at all.
+
+Orientation: rays along SUBLANES ((P, 1) columns sliced from a (P, 8)
+per-tile block), triangles along LANES ((1, C) rows from the resident
+block). The closest-hit fold reduces over lanes to (P, 1) and the two
+outputs ride a (Tl, P, 2) f32 array ([t, id + 2^23]), so no transposes
+appear anywhere.
+
+Shortlists (entry-sorted, from ops/packets.py) stage HBM -> SMEM per tile
+group exactly as in dense.py, and the same early exit applies: a tile
+stops as soon as every live ray's best hit beats the next candidate's
+conservative entry distance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import EPS_PARALLEL, MAX_FLOAT
+from .dense import _ID_OFFSET, _MASKED_T_INIT, _TILE_GROUP, _TRI_SENTINEL
+
+_ATTR_ROWS = 16  # 9 attrs + ids + 6 box floats (box unused here), 8-aligned
+
+# VMEM budget for the resident scene block; beyond this the caller must use
+# the DMA-pipelined kernel (ops/pallas/dense.py).
+RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def resident_fits(num_clusters: int, cluster_size: int) -> bool:
+    return (num_clusters + 1) * _ATTR_ROWS * cluster_size * 4 \
+        <= RESIDENT_VMEM_BUDGET
+
+
+def pack_clusters_resident(pd) -> jnp.ndarray:
+    """PacketData -> (K+1, 16, C) f32 resident cluster blocks.
+
+    Attribute ROWS (v0/e1/e2 xyz, ids as id+2^23 exact floats, cluster box),
+    triangles along LANES. C must be a multiple of 128 (lane tiling)."""
+    K1, C = pd.tri.shape
+    assert C % 128 == 0, f"resident layout needs C % 128 == 0, got {C}"
+    ids_f = pd.tri.astype(jnp.float32) + _ID_OFFSET
+
+    def rep(v):  # (K,) -> (K+1, C)
+        v = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        return jnp.broadcast_to(v[:, None], (K1, C))
+
+    packed = jnp.stack(
+        [pd.v0.x, pd.v0.y, pd.v0.z,
+         pd.e1.x, pd.e1.y, pd.e1.z,
+         pd.e2.x, pd.e2.y, pd.e2.z,
+         ids_f,
+         rep(pd.cl_lo.x), rep(pd.cl_lo.y), rep(pd.cl_lo.z),
+         rep(pd.cl_hi.x), rep(pd.cl_hi.y), rep(pd.cl_hi.z),
+         jnp.zeros((K1, C), jnp.float32)], axis=1
+    )  # (K+1, 16, C)
+    return packed
+
+
+def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
+    """One resident cluster block (16, C) against one ray tile ((P, 1)
+    columns) -> fold into the running closest hit ((P, 1) f32/i32)."""
+    v0x = cl[0:1, :]
+    v0y = cl[1:2, :]
+    v0z = cl[2:3, :]
+    e1x = cl[3:4, :]
+    e1y = cl[4:5, :]
+    e1z = cl[5:6, :]
+    e2x = cl[6:7, :]
+    e2y = cl[7:8, :]
+    e2z = cl[8:9, :]
+    tid = (cl[9:10, :] - _ID_OFFSET).astype(jnp.int32)
+
+    # Moller-Trumbore (ops/intersect.ray_triangle semantics), (P, C) blocks
+    qx = dy * e2z - dz * e2y
+    qy = dz * e2x - dx * e2z
+    qz = dx * e2y - dy * e2x
+    a = e1x * qx + e1y * qy + e1z * qz
+    parallel = jnp.abs(a) < EPS_PARALLEL
+    inv_a = jnp.where(parallel, 0.0, 1.0 / jnp.where(parallel, 1.0, a))
+    sx = (ox - v0x) * inv_a
+    sy = (oy - v0y) * inv_a
+    sz = (oz - v0z) * inv_a
+    rx = sy * e1z - sz * e1y
+    ry = sz * e1x - sx * e1z
+    rz = sx * e1y - sy * e1x
+    b0 = sx * qx + sy * qy + sz * qz
+    b1 = rx * dx + ry * dy + rz * dz
+    b2 = 1.0 - b0 - b1
+    reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0)
+    t = e2x * rx + e2y * ry + e2z * rz
+    ts = jnp.where(reject, MAX_FLOAT, t)
+
+    valid = (tid < num_tris) & (ts > 0.0) & (ts <= t_best)
+    ts = jnp.where(valid, ts, MAX_FLOAT)
+
+    t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
+    is_min = (ts == t_new) & (ts < MAX_FLOAT)
+    id_new = jnp.min(
+        jnp.where(is_min, tid, _TRI_SENTINEL), axis=1, keepdims=True
+    )
+    better = (t_new < t_best) | (
+        (t_new == t_best) & (id_new < id_best)
+        & (id_new < _TRI_SENTINEL) & (id_best >= 0)
+    )
+    t_out = jnp.where(better, t_new, t_best)
+    id_out = jnp.where(better, id_new, id_best)
+    return t_out, id_out
+
+
+_UNROLL = 1  # slots folded per while iteration: amortizes the scalar sync
+#              (jnp.max -> while cond) that otherwise costs ~0.7 us/slot
+
+
+def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
+            out_ref, slid, slent, sl_sem):
+    i = pl.program_id(0)
+    num_tris = meta_ref[0]
+    sentinel = meta_ref[1]  # K: the all-degenerate resident row
+    P = rays_ref.shape[1]
+    G = _TILE_GROUP
+    W = slid.shape[1]
+
+    d1 = pltpu.make_async_copy(
+        slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
+    d2 = pltpu.make_async_copy(
+        slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+    def one_tile(g, _):
+        cnt = slid[g, 0]
+        tile = rays_ref[pl.ds(g, 1)].reshape(P, 8)
+        ox = tile[:, 0:1]
+        oy = tile[:, 1:2]
+        oz = tile[:, 2:3]
+        dx = tile[:, 3:4]
+        dy = tile[:, 4:5]
+        dz = tile[:, 5:6]
+        lane_on = tile[:, 6:7] > 0.5
+
+        def cond(carry):
+            s, done, t_best, id_best = carry
+            return jnp.logical_not(done)
+
+        def body(carry):
+            s, done, t_best, id_best = carry
+            # straight-line _UNROLL slots; tail slots read the sentinel row
+            # (degenerate triangles) instead of branching
+            for u in range(_UNROLL):
+                su = s + u
+                sid = jnp.where(su < cnt,
+                                slid[g, jnp.minimum(1 + su, W - 1)],
+                                sentinel)
+                cl = cl_ref[sid]                   # (16, C), VMEM slice
+                t_best, id_best = _mt_fold_pc(
+                    cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris
+                )
+            nxt = s + _UNROLL
+            exhausted = nxt >= cnt
+            next_entry = slent[g, jnp.minimum(nxt, W - 1)]
+            t_max = jnp.max(t_best)
+            return nxt, exhausted | (t_max <= next_entry), t_best, id_best
+
+        init = (
+            jnp.int32(0),
+            cnt == 0,
+            jnp.where(lane_on, MAX_FLOAT, _MASKED_T_INIT),
+            jnp.full((P, 1), -1, jnp.int32),
+        )
+        _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
+
+        out = jnp.concatenate(
+            [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
+        )  # (P, 2); id == -1 -> 2^23 - 1, still exact
+        out_ref[pl.ds(g, 1)] = out.reshape(1, P, 2)
+        return 0
+
+    jax.lax.fori_loop(0, G, one_tile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
+                             num_tris, interpret: bool = False):
+    """VMEM-resident dense intersection.
+
+    ids/counts/entries: as in dense.dense_intersect.
+    rays:      (Tl, P, 8) f32 — columns o.xyz / d.xyz / lane-mask / pad
+    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!)
+
+    Returns (t (Tl, P) f32, tri (Tl, P) i32).
+    """
+    Tl, M = ids.shape
+    P = rays.shape[1]
+    G = _TILE_GROUP
+    W = 1024
+    assert M + 1 <= W
+    K = cl_packed.shape[0] - 1
+    meta = jnp.stack([jnp.asarray(num_tris, jnp.int32),
+                      jnp.asarray(K, jnp.int32)])
+
+    slid = jnp.concatenate(
+        [counts.reshape(Tl, 1).astype(jnp.int32), ids.astype(jnp.int32),
+         jnp.zeros((Tl, W - 1 - M), jnp.int32)], axis=1)
+    slent = jnp.concatenate(
+        [entries.astype(jnp.float32),
+         jnp.full((Tl, W - M), jnp.inf, jnp.float32)], axis=1)
+
+    Tp = -(-Tl // G) * G
+    if Tp != Tl:
+        slid = jnp.concatenate(
+            [slid, jnp.zeros((Tp - Tl, W), jnp.int32)], axis=0)
+        slent = jnp.concatenate(
+            [slent, jnp.full((Tp - Tl, W), jnp.inf, jnp.float32)], axis=0)
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((Tp - Tl, P, 8), rays.dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // G,),
+        in_specs=[
+            pl.BlockSpec((G, P, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # resident scene
+            pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist ids
+            pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist entries
+        ],
+        out_specs=pl.BlockSpec((G, P, 2), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((G, W), jnp.int32),
+            pltpu.SMEM((G, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, P, 2), jnp.float32),
+        interpret=interpret,
+    )(meta, rays, cl_packed, slid, slent)
+    t = out[:Tl, :, 0]
+    tri = (out[:Tl, :, 1] - _ID_OFFSET).astype(jnp.int32)
+    return t, tri

@@ -146,7 +146,7 @@ class _LoopState(NamedTuple):
 
 
 def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
-          with_stats: bool = False):
+          with_stats: bool = False, num_tris_static: int | None = None):
     """Closest-hit trace for a batch of rays.
 
     o, d: Vec3 with (R,) components. Returns Hit (and TraceStats when
@@ -173,7 +173,14 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
     o_b = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])
     d_b = Vec3(d.x[:, None], d.y[:, None], d.z[:, None])
 
-    nvis = 1 if not with_stats else int(td.num_tris) + 1
+    # The visit-histogram size must be static; under jit td.num_tris is a
+    # tracer, so callers must pass num_tris_static explicitly there.
+    if not with_stats:
+        nvis = 1
+    elif num_tris_static is not None:
+        nvis = int(num_tris_static) + 1
+    else:
+        nvis = int(td.num_tris) + 1
 
     def cond(s: _LoopState):
         return jnp.any(s.cursor < N)

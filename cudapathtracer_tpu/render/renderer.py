@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.bvh import build_bvh
+from ..accel.bvh import Accel, as_fine, build_bvh
 from ..integrators.bdpt import BDPTParams, radiance_bdpt
 from ..integrators.pt_nee import PTParams, radiance_pt_nee
-from ..ops import traversal
+from ..ops import packets, traversal
 from ..ops.rng import pixel_keys, sample_key
 from ..ops.vecmath import Vec3
 from ..utils.color import finalize as color_finalize
@@ -80,9 +80,9 @@ def _accum_update(state: AccumState, sample: Vec3,
 def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
     """Build the trace closure the integrators consume.
 
-    Returns (trace_fn, trace_data). For the 'bvh' path the FlatBVH must be
-    prebuilt on host (build_bvh) and is closed over as a pytree so it can be
-    donated/replicated.
+    Returns (trace_fn, trace_data). For the 'bvh'/'packets' paths the accel
+    structure must be prebuilt on host (build_bvh_for_scene) and is closed
+    over as a pytree so it can be donated/replicated.
     """
     if cfg.traversal == "brute":
         def trace_fn(o, d, mask):
@@ -90,8 +90,35 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
 
         return trace_fn, None
 
-    assert bvh is not None, "bvh traversal requires a prebuilt FlatBVH"
-    td = traversal.make_trace_data(scene, bvh)
+    assert bvh is not None, "traversal requires a prebuilt accel structure"
+    td = traversal.make_trace_data(scene, as_fine(bvh))
+
+    if cfg.traversal == "packets":
+        assert isinstance(bvh, Accel), (
+            "packet traversal needs the Accel bundle from build_bvh_for_scene"
+        )
+        pdata = packets.make_packet_data(
+            scene,
+            Vec3(bvh.cl_lo_x, bvh.cl_lo_y, bvh.cl_lo_z),
+            Vec3(bvh.cl_hi_x, bvh.cl_hi_y, bvh.cl_hi_z),
+            bvh.cl_tri,
+        )
+
+        engine = cfg.packet_engine
+        if engine == "auto":
+            # Mosaic kernels need a real TPU; anywhere else (CPU test runs)
+            # the XLA slot-scan engine is the fast correct choice.
+            engine = "pallas" if jax.default_backend() not in ("cpu",) \
+                else "xla"
+
+        def trace_fn(o, d, mask):
+            return packets.trace_packets(
+                o, d, pdata, fine_td=td, mask=mask,
+                tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
+                engine=engine, sort=cfg.packet_sort,
+            )
+
+        return trace_fn, td
 
     def trace_fn(o, d, mask):
         return traversal.trace(o, d, td, mask=mask)
@@ -155,7 +182,7 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
 
     ``seed=1234`` mirrors the reference's curand seed (kernel.cu:532).
     """
-    if cfg.traversal == "bvh" and bvh is None:
+    if cfg.traversal in ("bvh", "packets") and bvh is None:
         bvh = build_bvh_for_scene(scene, cfg.leaf_size)
     if state is None:
         state = init_accum(cfg)
@@ -171,40 +198,90 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
     return state
 
 
-def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True):
-    """Host BVH build (the reference's pre-render buildBVH, kernel.cu:601).
-
-    Prefers the native C++ builder (~1000x the python twin on big scenes;
-    both produce bit-identical trees — tested)."""
-    verts = np.stack(
-        [np.asarray(scene.verts.x), np.asarray(scene.verts.y),
-         np.asarray(scene.verts.z)], axis=1
-    )
-    tris = np.stack(
-        [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
-         np.asarray(scene.tri_v2)], axis=1
-    )
+def _build_flat_host(verts, tris, leaf_size: int, use_native: bool):
+    """One flat BVH as HOST numpy arrays (lo (N,3), hi (N,3), skip, leaf,
+    leaf_tri); native C++ builder preferred (~1000x the python twin on big
+    scenes; bit-identical trees — tested). Everything stays on the host so
+    the cluster extraction never reads back through a (potentially slow)
+    remote-TPU tunnel."""
     if use_native:
         try:
             from ..accel.native import build_bvh_native
-            from ..accel.bvh import FlatBVH
 
             d, _depth = build_bvh_native(verts, tris, leaf_size)
-            return FlatBVH(
-                node_lo_x=jnp.asarray(d["node_lo"][:, 0]),
-                node_lo_y=jnp.asarray(d["node_lo"][:, 1]),
-                node_lo_z=jnp.asarray(d["node_lo"][:, 2]),
-                node_hi_x=jnp.asarray(d["node_hi"][:, 0]),
-                node_hi_y=jnp.asarray(d["node_hi"][:, 1]),
-                node_hi_z=jnp.asarray(d["node_hi"][:, 2]),
-                node_skip=jnp.asarray(d["node_skip"]),
-                node_leaf=jnp.asarray(d["node_leaf"]),
-                leaf_tri=jnp.asarray(d["leaf_tri"]),
+            return (d["node_lo"], d["node_hi"], d["node_skip"],
+                    d["node_leaf"], d["leaf_tri"])
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                "native BVH builder failed, falling back to the (much "
+                f"slower) python twin: {type(e).__name__}: {e}"
             )
-        except Exception:
-            pass
     flat, _meta = build_bvh(verts, tris, leaf_size)
-    return flat
+    lo = np.stack([np.asarray(flat.node_lo_x), np.asarray(flat.node_lo_y),
+                   np.asarray(flat.node_lo_z)], axis=1)
+    hi = np.stack([np.asarray(flat.node_hi_x), np.asarray(flat.node_hi_y),
+                   np.asarray(flat.node_hi_z)], axis=1)
+    return (lo, hi, np.asarray(flat.node_skip), np.asarray(flat.node_leaf),
+            np.asarray(flat.leaf_tri))
+
+
+def _upload_flat(lo, hi, skip, leaf, leaf_tri):
+    from ..accel.bvh import FlatBVH
+
+    return FlatBVH(
+        node_lo_x=jnp.asarray(lo[:, 0]),
+        node_lo_y=jnp.asarray(lo[:, 1]),
+        node_lo_z=jnp.asarray(lo[:, 2]),
+        node_hi_x=jnp.asarray(hi[:, 0]),
+        node_hi_y=jnp.asarray(hi[:, 1]),
+        node_hi_z=jnp.asarray(hi[:, 2]),
+        node_skip=jnp.asarray(skip),
+        node_leaf=jnp.asarray(leaf),
+        leaf_tri=jnp.asarray(leaf_tri),
+    )
+
+
+def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,
+                        cluster_size: int = 128) -> Accel:
+    """Host accel build (the reference's pre-render buildBVH, kernel.cu:601).
+
+    Returns the Accel bundle: the fine per-ray BVH (``leaf_size``) plus the
+    coarse cluster level (``cluster_size``) for packet traversal."""
+    from ..models.scene import host_geometry
+
+    cached = host_geometry(scene)
+    if cached is not None:
+        # host copies registered at scene construction — avoids a device
+        # readback that can cost tens of seconds through a remote-TPU tunnel
+        verts, tris = cached
+    else:
+        verts = np.stack(
+            [np.asarray(scene.verts.x), np.asarray(scene.verts.y),
+             np.asarray(scene.verts.z)], axis=1
+        )
+        tris = np.stack(
+            [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+             np.asarray(scene.tri_v2)], axis=1
+        )
+    fine = _upload_flat(*_build_flat_host(verts, tris, leaf_size, use_native))
+    c_lo, c_hi, c_skip, c_leaf, c_ltri = _build_flat_host(
+        verts, tris, cluster_size, use_native)
+    # cluster extraction on host arrays (leaves in leaf-id order == preorder)
+    sel = np.flatnonzero(c_leaf >= 0)
+    sel = sel[np.argsort(c_leaf[sel])]
+    cl_lo, cl_hi, cl_tri = c_lo[sel], c_hi[sel], c_ltri
+    return Accel(
+        fine=fine,
+        cl_lo_x=jnp.asarray(cl_lo[:, 0]),
+        cl_lo_y=jnp.asarray(cl_lo[:, 1]),
+        cl_lo_z=jnp.asarray(cl_lo[:, 2]),
+        cl_hi_x=jnp.asarray(cl_hi[:, 0]),
+        cl_hi_y=jnp.asarray(cl_hi[:, 1]),
+        cl_hi_z=jnp.asarray(cl_hi[:, 2]),
+        cl_tri=jnp.asarray(cl_tri),
+    )
 
 
 def finalize_image(state: AccumState, cfg: RenderConfig):

@@ -23,9 +23,18 @@ class RenderConfig:
     spp: int = 99                   # reference-equivalent default (see above)
     num_bounces: int = 3            # kernel.cu:33
     integrator: str = "bdpt"        # 'bdpt' (live, kernel.cu:549) | 'pt_nee'
-    traversal: str = "bvh"          # 'bvh' | 'brute'
+    traversal: str = "packets"      # 'packets' | 'bvh' | 'brute'
     leaf_size: int = 4
     samples_per_call: int = 1       # progressive granularity (checkpoint unit)
+    # packet-traversal knobs (ops/packets.py)
+    tile_size: int = 256            # rays per packet tile
+    cluster_size: int = 128         # triangles per scene cluster (128 =
+    #                                 VMEM-resident kernel eligible)
+    max_clusters: int = 1023        # shortlist cap per tile (pallas loops
+    #                                 only each tile's true candidate count)
+    packet_sort: bool = True        # sort rays by octant+origin Morton
+    packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
+    #                                 'pallas_interpret' (CPU debugging)
     # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)
     orthonormal_frame: bool = False
     light_normal_mode: str = "fixed"
@@ -44,5 +53,7 @@ class RenderConfig:
         )
         assert self.height > 0 and (self.height & (self.height - 1)) == 0
         assert self.integrator in ("bdpt", "pt_nee")
-        assert self.traversal in ("bvh", "brute")
+        assert self.traversal in ("packets", "bvh", "brute")
         assert self.light_normal_mode in ("fixed", "true")
+        assert self.packet_engine in ("auto", "pallas", "xla",
+                                      "pallas_interpret")

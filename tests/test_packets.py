@@ -1,0 +1,170 @@
+"""Packet traversal (ops/packets.py): bit-parity with the brute oracle and
+with the fine BVH, overflow-fallback correctness, masking, and the cull's
+conservativeness. The reference has no analogue (its traversal is per-thread,
+kernel.cu:112-161); parity targets are our own oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudapathtracer_tpu import RenderConfig, make_camera
+from cudapathtracer_tpu.models import procedural
+from cudapathtracer_tpu.ops import packets, traversal
+from cudapathtracer_tpu.ops.rng import pixel_keys, sample_key
+from cudapathtracer_tpu.ops.vecmath import Vec3
+from cudapathtracer_tpu.render.camera import camera_rays
+from cudapathtracer_tpu.render.renderer import build_bvh_for_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = procedural.to_scene(procedural.cornell_with_sphere_mesh(subdiv=2))
+    accel = build_bvh_for_scene(scene, leaf_size=4, cluster_size=16)
+    td = traversal.make_trace_data(scene, accel.fine)
+    pd = packets.make_packet_data(
+        scene,
+        Vec3(accel.cl_lo_x, accel.cl_lo_y, accel.cl_lo_z),
+        Vec3(accel.cl_hi_x, accel.cl_hi_y, accel.cl_hi_z),
+        accel.cl_tri,
+    )
+    cam = make_camera(width=32, height=32)
+    idx = jnp.arange(32 * 32, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(0), 0), idx)
+    o, d = camera_rays(cam, idx, keys, jitter=False)
+    return scene, td, pd, o, d
+
+
+def test_packets_match_brute_primary(setup):
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=8)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_packets_overflow_fallback_still_exact(setup):
+    """Tiny shortlist forces heavy overflow; the fine-BVH fallback must keep
+    results exact."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=1)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_packets_incoherent_rays(setup):
+    """Random origins/directions (worst case for tile bounds) stay exact."""
+    scene, td, pd, _, _ = setup
+    k = jax.random.PRNGKey(3)
+    ko, kd = jax.random.split(k)
+    R = 512
+    o = Vec3.from_array(jax.random.uniform(ko, (R, 3), minval=0.0,
+                                           maxval=1.0))
+    d = Vec3.from_array(
+        jax.random.normal(kd, (R, 3)) + 1e-3  # avoid exact zeros
+    )
+    hb = traversal.trace_bruteforce(o, d, scene)
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=128,
+                               max_clusters=4)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_packets_mask_semantics(setup):
+    scene, td, pd, o, d = setup
+    R = o.x.shape[0]
+    mask = (jnp.arange(R) % 3) != 0
+    hp = packets.trace_packets(o, d, pd, fine_td=td, mask=mask,
+                               tile_size=64, max_clusters=8)
+    hb = traversal.trace_bruteforce(o, d, scene, mask=mask)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    m = np.asarray(mask)
+    assert (np.asarray(hp.tri)[~m] == -1).all()
+    assert (np.asarray(hp.t)[~m] == 1e5).all()
+
+
+def test_packets_nonmultiple_ray_count(setup):
+    """R not a multiple of tile_size pads internally and trims the result."""
+    scene, td, pd, o, d = setup
+    sl = slice(0, 100)
+    o2 = Vec3(o.x[sl], o.y[sl], o.z[sl])
+    d2 = Vec3(d.x[sl], d.y[sl], d.z[sl])
+    hb = traversal.trace_bruteforce(o2, d2, scene)
+    hp = packets.trace_packets(o2, d2, pd, fine_td=td, tile_size=64,
+                               max_clusters=8)
+    assert hp.t.shape == (100,)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+
+
+def test_cull_is_conservative(setup):
+    """Every cluster containing a ray's true hit must pass the tile cull."""
+    scene, td, pd, o, d = setup
+    R = o.x.shape[0]
+    P = 64
+    Tl = R // P
+    hb = traversal.trace_bruteforce(o, d, scene)
+
+    def bounds(v):
+        return v.reshape(Tl, P).min(1, keepdims=True), \
+               v.reshape(Tl, P).max(1, keepdims=True)
+
+    olo_x, ohi_x = bounds(np.asarray(o.x))
+    olo_y, ohi_y = bounds(np.asarray(o.y))
+    olo_z, ohi_z = bounds(np.asarray(o.z))
+    dlo_x, dhi_x = bounds(np.asarray(d.x))
+    dlo_y, dhi_y = bounds(np.asarray(d.y))
+    dlo_z, dhi_z = bounds(np.asarray(d.z))
+    hit, _ = packets.tile_cull(
+        Vec3(jnp.asarray(olo_x), jnp.asarray(olo_y), jnp.asarray(olo_z)),
+        Vec3(jnp.asarray(ohi_x), jnp.asarray(ohi_y), jnp.asarray(ohi_z)),
+        Vec3(jnp.asarray(dlo_x), jnp.asarray(dlo_y), jnp.asarray(dlo_z)),
+        Vec3(jnp.asarray(dhi_x), jnp.asarray(dhi_y), jnp.asarray(dhi_z)),
+        Vec3(pd.cl_lo.x[None, :], pd.cl_lo.y[None, :], pd.cl_lo.z[None, :]),
+        Vec3(pd.cl_hi.x[None, :], pd.cl_hi.y[None, :], pd.cl_hi.z[None, :]),
+    )
+    hit = np.asarray(hit)
+    cl_tri = np.asarray(pd.tri)[:-1]  # drop sentinel row
+    tri_best = np.asarray(hb.tri)
+    for r in np.flatnonzero(tri_best >= 0):
+        tile = r // P
+        owners = np.flatnonzero((cl_tri == tri_best[r]).any(axis=1))
+        assert hit[tile, owners].any(), (
+            f"ray {r}: no owning cluster of tri {tri_best[r]} passed the cull"
+        )
+
+
+def test_pallas_engine_interpret_matches_xla(setup):
+    """The Pallas dense kernel (interpreter mode on CPU) agrees with the XLA
+    slot-scan engine: same triangle everywhere, t to ULP tolerance."""
+    scene, td, pd, o, d = setup
+    hx = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, engine="xla")
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, engine="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hx.tri))
+    np.testing.assert_allclose(np.asarray(hp.t), np.asarray(hx.t),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_render_packets_matches_bvh_render(setup):
+    """End-to-end: a packets render equals the bvh render.
+
+    Hit results are bit-identical (tests above), but the surrounding
+    radiance arithmetic is fused differently by XLA in the two programs
+    (FMA contraction), so the images agree to ULP-level tolerance only."""
+    import cudapathtracer_tpu as cpt
+
+    scene = procedural.to_scene(procedural.cornell_box())
+    cam = make_camera(width=32, height=32)
+    kw = dict(width=32, height=32, spp=2, integrator="pt_nee",
+              samples_per_call=2)
+    sp = cpt.render(scene, cam, RenderConfig(traversal="packets", **kw),
+                    seed=5)
+    sb = cpt.render(scene, cam, RenderConfig(traversal="bvh", **kw), seed=5)
+    for a, b in [(sp.img.x, sb.img.x), (sp.img.y, sb.img.y),
+                 (sp.img.z, sb.img.z)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
