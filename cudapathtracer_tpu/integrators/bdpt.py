@@ -32,15 +32,20 @@ import jax.numpy as jnp
 from ..ops.rng import Sites, uniform_site
 from ..ops.sampling import (
     cosine_hemisphere,
-    pick_light,
     sample_triangle_point,
     triangle_areas,
     uniform_hemisphere,
 )
+from ..ops.shading import (
+    light_lookup,
+    make_light_table,
+    make_shade_table,
+    pick_light_slot,
+    tri_shading,
+)
 from ..ops.vecmath import (
     Vec3,
     dot,
-    gather,
     max_component,
     normalized_safe,
     safe_div,
@@ -73,26 +78,28 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     areas = triangle_areas(scene, scene.lights)
     total_area = scene.total_light_area
     all_on = jnp.ones((R,), bool)
+    # row-packed lookup tables (ops/shading.py) — scalar gathers at batch
+    # scale cost more than traversal on TPU
+    shade_tab = make_shade_table(scene)
+    light_tab = make_light_table(scene)
 
     x = [None] * PATH_SIZE
     norm = [None] * PATH_SIZE
-    mat = [None] * PATH_SIZE
+    albedo = [None] * PATH_SIZE
     inv_prob = [None] * PATH_SIZE
 
     # ---- light subpath vertex 0: point on a light (kernel.cu:230-267) ----
     u_pick = uniform_site(keys, Sites.BDPT_LIGHT_PICK)
-    sel = pick_light(total_area * u_pick, areas, scene.lights)
+    slot = pick_light_slot(total_area * u_pick, areas)
     lu = uniform_site(keys, Sites.BDPT_LIGHT_U)
     lv = uniform_site(keys, Sites.BDPT_LIGHT_V)
-    lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
-    lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
-    lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))
-    lnorm = gather(scene.tri_norm, sel)
+    lv0, la1, la2, lnorm, _ltri, l_e = light_lookup(light_tab, slot,
+                                                    with_emission=True)
     # offset by normal*0.001 (kernel.cu:261)
-    p = sample_triangle_point(lv0, lv1 - lv0, lv2 - lv0, lu, lv)
+    p = sample_triangle_point(lv0, la1, la2, lu, lv)
     x[0] = p + lnorm * EPS_HIT
     norm[0] = lnorm
-    mat[0] = jnp.take(scene.tri_mat, sel, mode="clip")
+    albedo[0] = None  # vertex 0's BRDF is never evaluated (kernel.cu:362)
     inv_prob[0] = jnp.broadcast_to(total_area, (R,))
 
     # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
@@ -104,11 +111,11 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     missed = t > MAX_FLOAT - 1.0
     tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
     t = jnp.where(missed, 0.0, t)
-    n2 = gather(scene.tri_norm, tri)
+    n2, alb1, _, _ = tri_shading(shade_tab, tri)
     g = jnp.abs(dot(n2, o_dir)) / jnp.maximum(EPS_HIT, t * t)  # kernel.cu:292
     x[1] = x[0] + o_dir * t
     norm[1] = n2
-    mat[1] = jnp.take(scene.tri_mat, tri, mode="clip")
+    albedo[1] = alb1
     # reference: 2π/g would be inf at g==0; downstream that inf meets a 0 and
     # becomes NaN→0 via its nan guard. safe_div reaches the same 0 directly
     # (and keeps the VJP NaN-free).
@@ -117,7 +124,7 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     # ---- camera vertex 4: the camera itself (kernel.cu:301-305) ----------
     x[CAM_IND] = o
     norm[CAM_IND] = d  # stores the *direction* (reference quirk)
-    mat[CAM_IND] = jnp.zeros((R,), jnp.int32)  # never read (see module doc)
+    albedo[CAM_IND] = None  # never read (see module doc)
     inv_prob[CAM_IND] = jnp.ones((R,))
 
     # ---- camera vertex 3: first hit (kernel.cu:306-328) ------------------
@@ -127,8 +134,9 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
     t = jnp.where(missed, 0.0, t)
     x[3] = o + d * t
-    norm[3] = gather(scene.tri_norm, tri)
-    mat[3] = jnp.take(scene.tri_mat, tri, mode="clip")
+    n3, alb3, cam_hit_emission, _ = tri_shading(shade_tab, tri)
+    norm[3] = n3
+    albedo[3] = alb3
     inv_prob[3] = jnp.ones((R,))
 
     # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
@@ -138,18 +146,16 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     hit2 = trace_fn(x[3], d2dir, all_on)
     t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here
     tri2 = jnp.maximum(hit2.tri, 0)  # clamp (reference reads OOB on miss)
-    n22 = gather(scene.tri_norm, tri2)
+    n22, alb2, _, _ = tri_shading(shade_tab, tri2)
     g2 = safe_div(jnp.abs(dot(norm[3], d2dir) * dot(n22, d2dir)), t2 * t2)
     g2 = jnp.where(g2 == 0.0, 1.0, g2)   # kernel.cu:339-342 (0 and NaN -> 1)
     x[2] = x[3] + d2dir * t2
     norm[2] = n22
-    mat[2] = jnp.take(scene.tri_mat, tri2, mode="clip")
+    albedo[2] = alb2
     inv_prob[2] = PI_REF / g2
 
     # ---- connections (kernel.cu:350-412) ---------------------------------
-    albedos = [gather(scene.mat_albedo, mat[k]) for k in range(PATH_SIZE)]
-    l_e = gather(scene.mat_emission, mat[0])
-    cam_hit_emission = gather(scene.mat_emission, mat[PATH_SIZE - 2])
+    albedos = albedo  # per-vertex, captured at hit time (row lookups)
 
     accum = Vec3.zeros((R,))
 

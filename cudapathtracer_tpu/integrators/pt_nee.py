@@ -37,11 +37,17 @@ import jax.numpy as jnp
 from ..ops.rng import Sites, uniform_site
 from ..ops.sampling import (
     cosine_hemisphere,
-    pick_light,
     sample_triangle_point,
     triangle_areas,
 )
-from ..ops.vecmath import Vec3, dot, gather, normalized_safe, where
+from ..ops.shading import (
+    light_lookup,
+    make_light_table,
+    make_shade_table,
+    pick_light_slot,
+    tri_shading,
+)
+from ..ops.vecmath import Vec3, dot, normalized_safe, where
 from ..utils.constants import EPS_HIT, MAX_FLOAT, PI_REF
 
 
@@ -61,6 +67,11 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
     R = o.x.shape[0]
     areas = triangle_areas(scene, scene.lights)  # (L,) differentiable
     total_area = scene.total_light_area
+    # Row-packed lookup tables (ops/shading.py): one 16-wide row gather per
+    # lookup instead of ~10 scalar gathers — scalar gathers at 1M rays cost
+    # more than the traversal itself on TPU. Loop-invariant; XLA hoists.
+    shade_tab = make_shade_table(scene)
+    light_tab = make_light_table(scene)
 
     zero = Vec3.zeros((R,))
     one = Vec3.full((R,), 1.0, 1.0, 1.0)
@@ -77,10 +88,7 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
         tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
         t = jnp.where(missed, 0.0, t)
 
-        normal = gather(scene.tri_norm, tri)
-        mat = jnp.take(scene.tri_mat, tri, mode="clip")
-        albedo = gather(scene.mat_albedo, mat)
-        emission = gather(scene.mat_emission, mat)
+        normal, albedo, emission, _mat = tri_shading(shade_tab, tri)
         pos = o + d * t
 
         # emission accumulation + path kill (kernel.cu:453-457)
@@ -103,20 +111,18 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
 
         # --- branch B: explicit light sample (kernel.cu:467-507) ----------
         u = uniform_site(keys, Sites.LIGHT_PICK, bounce=b)
-        sel = pick_light(total_area * u, areas, scene.lights)
+        slot = pick_light_slot(total_area * u, areas)
         lu = uniform_site(keys, Sites.LIGHT_U, bounce=b)
         lv = uniform_site(keys, Sites.LIGHT_V, bounce=b)
-        lv0 = gather(scene.verts, jnp.take(scene.tri_v0, sel, mode="clip"))
-        lv1 = gather(scene.verts, jnp.take(scene.tri_v1, sel, mode="clip"))
-        lv2 = gather(scene.verts, jnp.take(scene.tri_v2, sel, mode="clip"))
+        lv0, la1, la2, lnorm, _ltri = light_lookup(light_tab, slot)
         # no normal offset in the PT light sample (kernel.cu:497)
-        p1 = sample_triangle_point(lv0, lv1 - lv0, lv2 - lv0, lu, lv)
+        p1 = sample_triangle_point(lv0, la1, la2, lu, lv)
         dvec = p1 - pos
         l_nee = normalized_safe(dvec)
         if params.light_normal_mode == "fixed":
             light_n = Vec3.full((R,), 0.0, -1.0, 0.0)  # kernel.cu:503 quirk
         else:
-            light_n = gather(scene.tri_norm, sel)
+            light_n = lnorm
         cos_l = jnp.maximum(0.0, dot(l_nee, normal))
         cos_o1 = jnp.maximum(0.0, dot(light_n, -l_nee))
         d2 = dot(dvec, dvec)

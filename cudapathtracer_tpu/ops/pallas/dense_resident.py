@@ -63,9 +63,9 @@ def pack_clusters_resident(pd) -> jnp.ndarray:
          pd.e2.x, pd.e2.y, pd.e2.z,
          ids_f,
          rep(pd.cl_lo.x), rep(pd.cl_lo.y), rep(pd.cl_lo.z),
-         rep(pd.cl_hi.x), rep(pd.cl_hi.y), rep(pd.cl_hi.z),
-         jnp.zeros((K1, C), jnp.float32)], axis=1
-    )  # (K+1, 16, C)
+         rep(pd.cl_hi.x), rep(pd.cl_hi.y), rep(pd.cl_hi.z)], axis=1
+    )  # (K+1, 16, C): 9 attrs + ids + 6 box floats = 16 rows exactly
+    assert packed.shape[1] == _ATTR_ROWS
     return packed
 
 
@@ -157,24 +157,30 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
             s, done, t_best, id_best = carry
             return jnp.logical_not(done)
 
-        def body(carry):
-            s, done, t_best, id_best = carry
-            # straight-line _UNROLL slots; tail slots read the sentinel row
-            # (degenerate triangles) instead of branching
-            for u in range(_UNROLL):
-                su = s + u
-                sid = jnp.where(su < cnt,
-                                slid[g, jnp.minimum(1 + su, W - 1)],
-                                sentinel)
-                cl = cl_ref[sid]                   # (16, C), VMEM slice
-                t_best, id_best = _mt_fold_pc(
-                    cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris
-                )
-            nxt = s + _UNROLL
-            exhausted = nxt >= cnt
-            next_entry = slent[g, jnp.minimum(nxt, W - 1)]
-            t_max = jnp.max(t_best)
-            return nxt, exhausted | (t_max <= next_entry), t_best, id_best
+        def make_body(unroll):
+            def body(carry):
+                s, done, t_best, id_best = carry
+                # straight-line slots; tail slots read the sentinel row
+                # (degenerate triangles) instead of branching
+                for u in range(unroll):
+                    su = s + u
+                    sid = jnp.where(su < cnt,
+                                    slid[g, jnp.minimum(1 + su, W - 1)],
+                                    sentinel)
+                    cl = cl_ref[sid]               # (16, C), VMEM slice
+                    t_best, id_best = _mt_fold_pc(
+                        cl, ox, oy, oz, dx, dy, dz, t_best, id_best,
+                        num_tris
+                    )
+                nxt = s + unroll
+                exhausted = nxt >= cnt
+                next_entry = slent[g, jnp.minimum(nxt, W - 1)]
+                t_max = jnp.max(t_best)
+                return (nxt, exhausted | (t_max <= next_entry),
+                        t_best, id_best)
+            return body
+
+        body = make_body(_UNROLL)
 
         init = (
             jnp.int32(0),

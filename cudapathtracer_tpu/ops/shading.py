@@ -1,0 +1,128 @@
+"""Row-packed shading lookups.
+
+Scalar gathers on TPU run at ~0.1 G elem/s while row gathers of 16-wide
+rows run at ~15 G elem/s (see ops/packets.py module docstring). The
+integrators look up per-hit shading data (normal, albedo, emission) and
+per-pick light geometry many times per bounce; done as individual scalar
+``jnp.take`` calls those lookups dominate the whole render (~60 gathers x
+~6 ms at 1M rays). Packing each table into (N, 16) f32 rows turns every
+lookup into ONE row gather (~1 ms) plus free column slices.
+
+Tables are built under jit from the live scene arrays, so they are
+differentiable w.r.t. vertices/albedo/emission and get hoisted out of the
+sample/bounce loops by XLA (loop-invariant).
+
+Integer fields (material/triangle ids) travel as exact float VALUES
+(id + 2^23): bitcasting small ints to f32 creates denormals, which the TPU
+flushes to zero on relayout (learned the hard way in ops/pallas/dense.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .vecmath import Vec3, cross, gather
+
+_ID_OFFSET = float(1 << 23)
+
+
+class ShadeTable(NamedTuple):
+    """(T+1, 16) per-triangle rows: [n.xyz, albedo.xyz, emission.xyz,
+    mat+2^23, pad...]. Row T is a harmless default (triangle 0's data is
+    NOT used for padding — miss lanes clamp to triangle 0 per the
+    reference's semantics before lookup, kernel.cu:437)."""
+
+    tri_rows: jnp.ndarray
+
+
+class LightTable(NamedTuple):
+    """(L+1, 16) per-light rows: [v0.xyz, a1.xyz, a2.xyz, n.xyz,
+    tri+2^23, emission.xyz] where a1 = v1-v0, a2 = v2-v0. Row L is the
+    no-match fallback: the reference's scan falls through to *scene
+    triangle 0* (kernel.cu:232), so row L carries triangle 0's data."""
+
+    light_rows: jnp.ndarray
+    num_lights: int  # static
+
+
+def make_shade_table(scene) -> ShadeTable:
+    mat = scene.tri_mat
+    alb = gather(scene.mat_albedo, mat)
+    emi = gather(scene.mat_emission, mat)
+    matf = mat.astype(jnp.float32) + _ID_OFFSET
+    z = jnp.zeros_like(matf)
+    rows = jnp.stack(
+        [scene.tri_norm.x, scene.tri_norm.y, scene.tri_norm.z,
+         alb.x, alb.y, alb.z,
+         emi.x, emi.y, emi.z,
+         matf, z, z, z, z, z, z], axis=1
+    )
+    rows = jnp.concatenate([rows, jnp.zeros((1, 16), jnp.float32)], axis=0)
+    return ShadeTable(tri_rows=rows)
+
+
+def tri_shading(table: ShadeTable, tri):
+    """tri: (R,) i32 >= 0. Returns (normal, albedo, emission, mat)."""
+    r = jnp.take(table.tri_rows, tri, axis=0, mode="clip")
+    n = Vec3(r[:, 0], r[:, 1], r[:, 2])
+    alb = Vec3(r[:, 3], r[:, 4], r[:, 5])
+    emi = Vec3(r[:, 6], r[:, 7], r[:, 8])
+    mat = (r[:, 9] - _ID_OFFSET).astype(jnp.int32)
+    return n, alb, emi, mat
+
+
+def make_light_table(scene) -> LightTable:
+    li = scene.lights
+    L = int(li.shape[0])
+    # fallback row: scene triangle 0 (the reference's no-match fallthrough)
+    idx = jnp.concatenate([li.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+    tv0 = jnp.take(scene.tri_v0, idx, mode="clip")
+    tv1 = jnp.take(scene.tri_v1, idx, mode="clip")
+    tv2 = jnp.take(scene.tri_v2, idx, mode="clip")
+    v0 = gather(scene.verts, tv0)
+    v1 = gather(scene.verts, tv1)
+    v2 = gather(scene.verts, tv2)
+    n = gather(scene.tri_norm, idx)
+    trif = idx.astype(jnp.float32) + _ID_OFFSET
+    emi = gather(scene.mat_emission, jnp.take(scene.tri_mat, idx,
+                                              mode="clip"))
+    a1 = v1 - v0
+    a2 = v2 - v0
+    rows = jnp.stack(
+        [v0.x, v0.y, v0.z, a1.x, a1.y, a1.z, a2.x, a2.y, a2.z,
+         n.x, n.y, n.z, trif, emi.x, emi.y, emi.z], axis=1
+    )
+    return LightTable(light_rows=rows, num_lights=L)
+
+
+def light_lookup(table: LightTable, slot, with_emission: bool = False):
+    """slot: (R,) i32 in [0, L] (L = fallback). Returns
+    (v0, a1, a2, normal, tri[, emission]) for the picked lights."""
+    r = jnp.take(table.light_rows, slot, axis=0, mode="clip")
+    v0 = Vec3(r[:, 0], r[:, 1], r[:, 2])
+    a1 = Vec3(r[:, 3], r[:, 4], r[:, 5])
+    a2 = Vec3(r[:, 6], r[:, 7], r[:, 8])
+    n = Vec3(r[:, 9], r[:, 10], r[:, 11])
+    tri = (r[:, 12] - _ID_OFFSET).astype(jnp.int32)
+    if with_emission:
+        return v0, a1, a2, n, tri, Vec3(r[:, 13], r[:, 14], r[:, 15])
+    return v0, a1, a2, n, tri
+
+
+def pick_light_slot(rand_area, areas):
+    """The reference's light-pick scan (kernel.cu:231-244) returning the
+    LIGHT SLOT (index into the light table) instead of a scene-triangle id;
+    no match -> slot L (the fallback row). Semantics identical to
+    sampling.pick_light."""
+    L = areas.shape[0]
+    if L == 0:
+        return jnp.full(rand_area.shape, 0, jnp.int32)  # only row: fallback
+    cum = jnp.cumsum(areas)
+    prev_cum = cum - areas
+    rem = rand_area[:, None] - prev_cum[None, :]
+    match = (rem > 0.0) & (rem < areas[None, :])
+    any_match = jnp.any(match, axis=1)
+    j = jnp.argmax(match, axis=1).astype(jnp.int32)
+    return jnp.where(any_match, j, L)
