@@ -84,6 +84,11 @@ def make_config(args):
         branch_pdf_correction=args.branch_pdf_correction,
         jitter=args.jitter,
         compensated_accum=not args.no_compensated_accum,
+        tile_size=args.tile_size,
+        cluster_size=args.cluster_size,
+        max_clusters=args.max_clusters,
+        packet_sort=not args.no_packet_sort,
+        packet_engine=args.packet_engine,
     )
 
 
@@ -211,9 +216,16 @@ def main(argv=None):
         sp.add_argument("--bounces", type=int, default=3)
         sp.add_argument("--integrator", default="bdpt",
                         choices=["bdpt", "pt_nee"])
-        sp.add_argument("--traversal", default="bvh",
-                        choices=["bvh", "brute"])
+        sp.add_argument("--traversal", default="packets",
+                        choices=["packets", "bvh", "brute"])
         sp.add_argument("--leaf-size", type=int, default=4)
+        sp.add_argument("--tile-size", type=int, default=256)
+        sp.add_argument("--cluster-size", type=int, default=128)
+        sp.add_argument("--max-clusters", type=int, default=1023)
+        sp.add_argument("--no-packet-sort", action="store_true")
+        sp.add_argument("--packet-engine", default="auto",
+                        choices=["auto", "pallas", "xla",
+                                 "pallas_interpret"])
         sp.add_argument("--samples-per-call", type=int, default=1)
         sp.add_argument("--seed", type=int, default=1234)
         sp.add_argument("--camera", type=float, nargs=3,

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..integrators.bdpt import BDPTParams, radiance_bdpt
 from ..integrators.pt_nee import PTParams, radiance_pt_nee
 from ..models.scene import Scene, recompute_derived
-from ..ops.intersect import ray_triangle_t_unchecked
+from ..ops.intersect import ray_sphere_t_unchecked, ray_triangle_t_unchecked
 from ..ops.rng import pixel_keys, sample_key
 from ..ops.traversal import Hit
 from ..ops.vecmath import Vec3, gather
@@ -54,13 +54,25 @@ def make_diff_trace_fn(scene: Scene, base_trace_fn):
     re-evaluates t; misses keep the MAX_FLOAT sentinel with zero tangent.
     """
 
+    T = scene.num_tris
+    S = scene.num_spheres
+
     def diff_trace(o: Vec3, d: Vec3, mask) -> Hit:
         hit = base_trace_fn(o, d, mask)
         tri = jnp.maximum(hit.tri, 0)
-        v0 = gather(scene.verts, jnp.take(scene.tri_v0, tri, mode="clip"))
-        v1 = gather(scene.verts, jnp.take(scene.tri_v1, tri, mode="clip"))
-        v2 = gather(scene.verts, jnp.take(scene.tri_v2, tri, mode="clip"))
+        tric = jnp.minimum(tri, max(T - 1, 0))  # sphere ids out of range
+        v0 = gather(scene.verts, jnp.take(scene.tri_v0, tric, mode="clip"))
+        v1 = gather(scene.verts, jnp.take(scene.tri_v1, tric, mode="clip"))
+        v2 = gather(scene.verts, jnp.take(scene.tri_v2, tric, mode="clip"))
         t_re = ray_triangle_t_unchecked(o, d, v0, v1, v2)
+        if S > 0:
+            # sphere hits re-evaluate against the (differentiable) sphere
+            # params instead — d(t)/d(center, radius) for the grad targets
+            s = jnp.clip(tri - T, 0, S - 1)
+            c = gather(scene.sph_center, s)
+            r = jnp.take(scene.sph_radius, s, mode="clip")
+            t_sph = ray_sphere_t_unchecked(o, d, c, r)
+            t_re = jnp.where(tri >= T, t_sph, t_re)
         t = jnp.where(hit.tri >= 0, t_re, hit.t)
         return Hit(tri=hit.tri, t=t)
 
@@ -83,14 +95,12 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
     """
     scene = recompute_derived(scene)
 
-    if cfg.traversal == "brute":
-        from ..ops import traversal as trav
+    from ..ops import traversal as trav
 
-        def base_trace(o, d, mask):
+    if cfg.traversal == "brute":
+        def tri_trace(o, d, mask):
             return trav.trace_bruteforce(o, d, scene, mask=mask)
     else:
-        from ..ops import traversal as trav
-
         td = trace_data
         if td is None:
             assert bvh is not None, "need bvh or trace_data"
@@ -98,8 +108,15 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
 
             td = trav.make_trace_data(scene, as_fine(bvh))
 
-        def base_trace(o, d, mask):
+        def tri_trace(o, d, mask):
             return trav.trace(o, d, td, mask=mask)
+
+    if scene.num_spheres > 0:
+        def base_trace(o, d, mask):
+            h = tri_trace(o, d, mask)
+            return trav.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
+    else:
+        base_trace = tri_trace
 
     trace_fn = make_diff_trace_fn(scene, base_trace)
     if idx is None:

@@ -74,6 +74,12 @@ CAM_IND = PATH_SIZE - 1
 def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
                   params: BDPTParams = BDPTParams()) -> Vec3:
     """Estimate radiance for R camera rays. trace_fn(o, d, mask) -> Hit."""
+    if scene.num_spheres > 0:
+        raise NotImplementedError(
+            "the BDPT integrator is triangles-only (like the reference's — "
+            "sphere.h predates its BDPT and was never wired in, "
+            "kernel.cu:21); render spheres with integrator='pt_nee'"
+        )
     R = o.x.shape[0]
     areas = triangle_areas(scene, scene.lights)
     total_area = scene.total_light_area

@@ -41,11 +41,12 @@ from ..ops.sampling import (
     triangle_areas,
 )
 from ..ops.shading import (
+    hit_shading,
     light_lookup,
     make_light_table,
     make_shade_table,
+    make_sphere_table,
     pick_light_slot,
-    tri_shading,
 )
 from ..ops.vecmath import Vec3, dot, normalized_safe, where
 from ..utils.constants import EPS_HIT, MAX_FLOAT, PI_REF
@@ -72,6 +73,8 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
     # more than the traversal itself on TPU. Loop-invariant; XLA hoists.
     shade_tab = make_shade_table(scene)
     light_tab = make_light_table(scene)
+    num_tris = scene.num_tris  # static
+    sph_tab = make_sphere_table(scene) if scene.num_spheres > 0 else None
 
     zero = Vec3.zeros((R,))
     one = Vec3.full((R,), 1.0, 1.0, 1.0)
@@ -88,8 +91,10 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
         tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
         t = jnp.where(missed, 0.0, t)
 
-        normal, albedo, emission, _mat = tri_shading(shade_tab, tri)
         pos = o + d * t
+        normal, albedo, emission = hit_shading(
+            shade_tab, sph_tab, num_tris, tri, pos
+        )
 
         # emission accumulation + path kill (kernel.cu:453-457)
         is_emissive = emission.x != 0.0

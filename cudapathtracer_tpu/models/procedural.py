@@ -215,6 +215,25 @@ def cornell_with_sphere_mesh(subdiv: int = 3):
     return cb
 
 
+def cornell_with_analytic_sphere(radius: float = 0.26,
+                                 center=(0.35, 0.45, 0.3)):
+    """Cornell box + one ANALYTIC sphere primitive (the reference's
+    dormant sphere.h capability, revived): returns a Scene directly,
+    since analytic spheres live outside the OBJ/triangle pipeline."""
+    from .scene import make_scene
+
+    cb = cornell_box(with_boxes=False)
+    return make_scene(
+        cb["verts"], cb["tris"], cb["tri_mats"], cb["albedo"],
+        cb["emission"],
+        spheres=(
+            np.array([center], np.float32),
+            np.array([radius], np.float32),
+            np.array([0], np.int32),  # white
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sponza-scale stress scene
 # ---------------------------------------------------------------------------

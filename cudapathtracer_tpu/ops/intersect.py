@@ -112,6 +112,23 @@ def ray_triangle_t_unchecked(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):
     return dot(e2, r)
 
 
+def ray_sphere_t_unchecked(o: Vec3, d: Vec3, center: Vec3, radius):
+    """Nearest-positive sphere t WITHOUT hit tests, for a sphere already
+    known to be hit — the sphere analogue of ray_triangle_t_unchecked:
+    fully differentiable w.r.t. ray, center and radius (the detach-trick
+    re-evaluation used by diff/render_grad.py)."""
+    oc = o - center
+    a = dot(d, d)
+    b = 2.0 * dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = jnp.maximum(b * b - 4.0 * a * c, 1e-12)  # known hit: disc > 0
+    sq = jnp.sqrt(disc)
+    inv2a = 0.5 / jnp.maximum(a, 1e-20)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    return jnp.where(t0 > 0.0, t0, t1)
+
+
 def ray_sphere(o: Vec3, d: Vec3, center: Vec3, radius):
     """Ray-sphere intersection (sphere.h:7-13 capability).
 

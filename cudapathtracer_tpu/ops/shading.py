@@ -111,6 +111,53 @@ def light_lookup(table: LightTable, slot, with_emission: bool = False):
     return v0, a1, a2, n, tri
 
 
+class SphereTable(NamedTuple):
+    """(S+1, 16) per-sphere rows: [center.xyz, radius, albedo.xyz,
+    emission.xyz, mat+2^23, pad...] (sentinel last row)."""
+
+    sph_rows: jnp.ndarray
+
+
+def make_sphere_table(scene) -> SphereTable:
+    from .vecmath import gather as vgather
+
+    alb = vgather(scene.mat_albedo, scene.sph_mat)
+    emi = vgather(scene.mat_emission, scene.sph_mat)
+    matf = scene.sph_mat.astype(jnp.float32) + _ID_OFFSET
+    z = jnp.zeros_like(matf)
+    rows = jnp.stack(
+        [scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
+         scene.sph_radius, alb.x, alb.y, alb.z, emi.x, emi.y, emi.z,
+         matf, z, z, z, z, z], axis=1
+    )
+    rows = jnp.concatenate([rows, jnp.zeros((1, 16), jnp.float32)], axis=0)
+    return SphereTable(sph_rows=rows)
+
+
+def hit_shading(shade_tab: ShadeTable, sph_tab, num_tris: int, tri, pos):
+    """Shading lookup for a mixed triangle/sphere hit id.
+
+    tri: (R,) i32 hit ids (already clamped >= 0); ids >= num_tris are
+    sphere hits (id - num_tris = sphere index). pos: (R,) Vec3 hit points
+    (needed for the analytic sphere normal (p - c)/|p - c|). ``sph_tab``
+    may be None when the scene has no spheres (static fast path).
+    Returns (normal, albedo, emission)."""
+    from .vecmath import normalized_safe, where as vwhere
+
+    n, alb, emi, _mat = tri_shading(shade_tab, tri)
+    if sph_tab is None:
+        return n, alb, emi
+    is_s = tri >= num_tris
+    r = jnp.take(sph_tab.sph_rows, jnp.clip(tri - num_tris, 0, None),
+                 axis=0, mode="clip")
+    c = Vec3(r[:, 0], r[:, 1], r[:, 2])
+    sn = normalized_safe(pos - c)
+    n = vwhere(is_s, sn, n)
+    alb = vwhere(is_s, Vec3(r[:, 4], r[:, 5], r[:, 6]), alb)
+    emi = vwhere(is_s, Vec3(r[:, 7], r[:, 8], r[:, 9]), emi)
+    return n, alb, emi
+
+
 def pick_light_slot(rand_area, areas):
     """The reference's light-pick scan (kernel.cu:231-244) returning the
     LIGHT SLOT (index into the light table) instead of a scene-triangle id;

@@ -325,12 +325,17 @@ def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
     return Hit(tri=tri_best, t=t_best)
 
 
-def trace_spheres(o: Vec3, d: Vec3, scene, t_best, id_best):
-    """Fold the (small, dormant-capability) sphere block into a hit result:
-    sphere s reports hit id = num_tris + s. Brute force over S spheres."""
+def trace_spheres(o: Vec3, d: Vec3, scene, t_best, id_best, mask=None):
+    """Fold the sphere block into a hit result: sphere s reports hit id
+    = num_tris + s. Brute force over S spheres (S is small; the reference's
+    sphere.h primitive, revived as a first-class capability).
+
+    Spheres win only on strictly smaller t (triangles keep exact ties)."""
     S = scene.num_spheres
     if S == 0:
         return Hit(tri=id_best, t=t_best)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     o_b = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])
     d_b = Vec3(d.x[:, None], d.y[:, None], d.z[:, None])
     c = Vec3(
@@ -338,10 +343,13 @@ def trace_spheres(o: Vec3, d: Vec3, scene, t_best, id_best):
         scene.sph_center.y[None, :],
         scene.sph_center.z[None, :],
     )
-    ts = ray_sphere(o_b, d_b, c, scene.sph_radius[None, :])  # (R, S)
+    sph = jax.lax.stop_gradient((c, scene.sph_radius))
+    ts = ray_sphere(o_b, d_b, sph[0], sph[1][None, :])  # (R, S)
     j = jnp.argmin(ts, axis=1)
     t_new = jnp.min(ts, axis=1)
     upd = t_new < t_best
+    if mask is not None:
+        upd = upd & mask
     T = scene.num_tris
     return Hit(
         tri=jnp.where(upd, (T + j).astype(jnp.int32), id_best),

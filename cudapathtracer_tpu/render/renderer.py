@@ -84,11 +84,24 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
     structure must be prebuilt on host (build_bvh_for_scene) and is closed
     over as a pytree so it can be donated/replicated.
     """
+    def with_spheres(base):
+        # fold analytic spheres (sphere.h capability) over the triangle hit;
+        # static no-op for the common sphere-free scene
+        if scene.num_spheres == 0:
+            return base
+
+        def fn(o, d, mask):
+            h = base(o, d, mask)
+            return traversal.trace_spheres(o, d, scene, h.t, h.tri,
+                                           mask=mask)
+
+        return fn
+
     if cfg.traversal == "brute":
         def trace_fn(o, d, mask):
             return traversal.trace_bruteforce(o, d, scene, mask=mask)
 
-        return trace_fn, None
+        return with_spheres(trace_fn), None
 
     assert bvh is not None, "traversal requires a prebuilt accel structure"
     td = traversal.make_trace_data(scene, as_fine(bvh))
@@ -118,12 +131,12 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 engine=engine, sort=cfg.packet_sort,
             )
 
-        return trace_fn, td
+        return with_spheres(trace_fn), td
 
     def trace_fn(o, d, mask):
         return traversal.trace(o, d, td, mask=mask)
 
-    return trace_fn, td
+    return with_spheres(trace_fn), td
 
 
 def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig) -> Vec3:
