@@ -14,13 +14,14 @@ light-pick areas/pdfs, geometric factors — is plain JAX math, so reverse
 mode delivers d(pixel)/d(verts, albedo, emission) through the *continuous*
 part of the estimator exactly.
 
-What this does NOT yet cover: visibility discontinuities (silhouette
-motion). Moving a vertex changes which pixels see which triangle; that
-gradient needs edge/boundary sampling (reparameterized integrals). The API
-reserves ``edge_samples`` for it; with the default 0 the estimator is the
-interior-only gradient, validated against finite differences on smooth
-regions (tests/test_diff.py). Planned: boundary term via reparameterized
-edge sampling per the north star.
+Visibility discontinuities (silhouette motion) are covered by the PRIMARY
+boundary term when ``edge_samples > 0``: diff/edge_sampling.py samples
+points on camera-silhouette mesh edges and adds a value-zero image whose
+cotangents carry (L- − L+) times the image-space edge velocity (Li et al.
+2018 edge sampling). With the default 0 the estimator is interior-only.
+Secondary (shadow/indirect) silhouettes remain future work; both modes are
+validated against finite differences (tests/test_diff.py,
+tests/test_edge_sampling.py).
 
 RNG note: gradients are taken with the SAME sample keys as the primal
 render (common random numbers), so d(loss)/d(param) finite-difference
@@ -80,7 +81,8 @@ def make_diff_trace_fn(scene: Scene, base_trace_fn):
 
 
 def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
-                      spp: int, bvh=None, trace_data=None, idx=None) -> Vec3:
+                      spp: int, bvh=None, trace_data=None, idx=None,
+                      edge_samples: int = 0, edge_table=None) -> Vec3:
     """Differentiable expected-radiance image (Morton order, (R,) Vec3).
 
     Renders ``spp`` samples under ``lax.scan`` with per-sample
@@ -146,7 +148,30 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
         return acc + radiance(o, d, keys), None
 
     acc, _ = jax.lax.scan(one_sample, Vec3.zeros((r,)), jnp.arange(spp))
-    return acc * (1.0 / spp)
+    img = acc * (1.0 / spp)
+
+    if edge_samples > 0:
+        assert edge_table is not None, (
+            "edge_samples > 0 needs a prebuilt EdgeTable "
+            "(diff/edge_sampling.build_edge_table — host-side)"
+        )
+        assert idx.shape[0] == cfg.num_pixels, (
+            "edge sampling covers the full image (tile sharding of the "
+            "boundary term: future work)"
+        )
+        from .edge_sampling import boundary_image
+
+        def boundary_radiance(o, d, kidx):
+            # one-sample detached estimate; decorrelated sample index
+            keys = pixel_keys(sample_key(base_key, jnp.int32(1 << 20)), kidx)
+            return radiance(o, d, keys)
+
+        img = img + boundary_image(
+            scene, cam, edge_table, boundary_radiance,
+            jax.random.fold_in(base_key, 0xED6E),
+            edge_samples, cfg.num_pixels,
+        )
+    return img
 
 
 class GradTargets(NamedTuple):
@@ -187,18 +212,39 @@ def l2_loss(img: Vec3, target: Vec3):
 
 
 def make_loss_fn(scene: Scene, cam, cfg: RenderConfig, base_key, spp: int,
-                 bvh=None):
+                 bvh=None, edge_samples: int = 0):
     """loss(params, target_image) -> scalar, differentiable in params.
+
+    ``edge_samples > 0`` adds the primary-visibility boundary gradient
+    (diff/edge_sampling.py); the edge table is built here (host side) from
+    the scene's cached geometry.
 
     NOTE the BVH topology is frozen from the input scene: vertex gradients
     are valid for perturbations small enough not to escape their (padded)
     leaf boxes — re-build the BVH between optimizer steps (inverse-rendering
     loops do this on host; the reference has no analogue).
     """
+    edge_table = None
+    if edge_samples > 0:
+        import numpy as np
+
+        from ..models.scene import host_geometry
+        from .edge_sampling import build_edge_table
+
+        cached = host_geometry(scene)
+        if cached is not None:
+            _, tris = cached
+        else:
+            tris = np.stack(
+                [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+                 np.asarray(scene.tri_v2)], axis=1)
+        edge_table = build_edge_table(tris)
 
     def loss(params: GradTargets, target: Vec3):
         s = scene_with(scene, params)
-        img = render_image_diff(s, cam, cfg, base_key, spp, bvh=bvh)
+        img = render_image_diff(s, cam, cfg, base_key, spp, bvh=bvh,
+                                edge_samples=edge_samples,
+                                edge_table=edge_table)
         return l2_loss(img, target)
 
     return loss
