@@ -42,7 +42,8 @@ def main():
     desc = procedural.colonnade(subdiv=subdiv)
     scene = procedural.to_scene(desc)
     cfg = RenderConfig(width=size, height=size, spp=spp,
-                       integrator="pt_nee", samples_per_call=spp)
+                       integrator="pt_nee", samples_per_call=spp,
+                       reuse_primary_hit=True)  # pinhole camera, no jitter
     t0 = time.time()
     bvh = build_bvh_for_scene(scene, cfg.leaf_size)
     t_build = time.time() - t0

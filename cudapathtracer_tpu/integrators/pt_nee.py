@@ -60,10 +60,16 @@ class PTParams(NamedTuple):
 
 
 def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
-                    params: PTParams = PTParams()) -> Vec3:
+                    params: PTParams = PTParams(),
+                    primary_hit=None) -> Vec3:
     """Estimate radiance for R rays. trace_fn(o, d, mask) -> Hit.
 
     ``keys``: per-pixel key batch for this sample (ops/rng.pixel_keys).
+    ``primary_hit``: optional precomputed Hit for the incoming rays —
+    with a pinhole camera and no pixel jitter the primary rays are
+    identical every sample, so the renderer traces them ONCE per batch
+    and hands the result in (bounce 0 is peeled out of the bounce scan
+    to allow this; the RNG site streams are unchanged).
     """
     R = o.x.shape[0]
     areas = triangle_areas(scene, scene.lights)  # (L,) differentiable
@@ -79,11 +85,12 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
     zero = Vec3.zeros((R,))
     one = Vec3.full((R,), 1.0, 1.0, 1.0)
 
-    def bounce(carry, b):
+    def bounce(carry, b, hit=None):
         o, d, weight, accum, remaining = carry
         active = remaining > 0
 
-        hit = trace_fn(o, d, active)
+        if hit is None:
+            hit = trace_fn(o, d, active)
         t = hit.t - EPS_HIT                       # kernel.cu:431
         near = t < EPS_HIT                        # kernel.cu:432-435
         missed = t > MAX_FLOAT - 1.0              # kernel.cu:436-441
@@ -153,8 +160,13 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
         remaining = jnp.where(active, new_remaining, remaining)
         return (o, d, weight, accum, remaining), None
 
-    init = (o, d, one, zero, jnp.full((R,), params.num_bounces, jnp.int32))
-    (o, d, weight, accum, remaining), _ = jax.lax.scan(
-        bounce, init, jnp.arange(params.num_bounces)
-    )
+    carry = (o, d, one, zero, jnp.full((R,), params.num_bounces, jnp.int32))
+    # bounce 0 peeled: lets the renderer inject the (sample-invariant)
+    # primary hit; identical RNG streams since sites key on the bounce index
+    carry, _ = bounce(carry, 0, hit=primary_hit)
+    if params.num_bounces > 1:
+        carry, _ = jax.lax.scan(
+            bounce, carry, jnp.arange(1, params.num_bounces)
+        )
+    (o, d, weight, accum, remaining) = carry
     return accum

@@ -89,7 +89,10 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     qz = dx * e2y - dy * e2x
     a = e1x * qx + e1y * qy + e1z * qz
     parallel = jnp.abs(a) < EPS_PARALLEL
-    inv_a = jnp.where(parallel, 0.0, 1.0 / jnp.where(parallel, 1.0, a))
+    # unguarded 1/a: when a == 0 the products go inf/NaN, but every such
+    # lane has parallel == True, so reject forces ts = MAX_FLOAT and the
+    # NaN never escapes a comparison (comparisons with NaN are False)
+    inv_a = 1.0 / a
     sx = (ox - v0x) * inv_a
     sy = (oy - v0y) * inv_a
     sz = (oz - v0z) * inv_a

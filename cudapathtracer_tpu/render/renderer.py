@@ -139,7 +139,8 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
     return with_spheres(trace_fn), td
 
 
-def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig) -> Vec3:
+def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig,
+              primary_hit=None) -> Vec3:
     if cfg.integrator == "pt_nee":
         params = PTParams(
             num_bounces=cfg.num_bounces,
@@ -147,7 +148,8 @@ def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig) -> Vec3:
             light_normal_mode=cfg.light_normal_mode,
             branch_pdf_correction=cfg.branch_pdf_correction,
         )
-        return radiance_pt_nee(o, d, scene, trace_fn, keys, params)
+        return radiance_pt_nee(o, d, scene, trace_fn, keys, params,
+                               primary_hit=primary_hit)
     params = BDPTParams(orthonormal_frame=cfg.orthonormal_frame)
     return radiance_bdpt(o, d, scene, trace_fn, keys, params)
 
@@ -171,10 +173,21 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
     if idx is None:
         idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
+    primary = None
+    if (cfg.reuse_primary_hit and cfg.integrator == "pt_nee"
+            and not cfg.jitter):
+        # pinhole + no jitter: every sample's primary rays are identical
+        # (cfg.reuse_primary_hit is only set when the camera radius is 0),
+        # so the first trace of the bounce loop is batch-invariant
+        keys0 = pixel_keys(sample_key(base_key, state.n), idx)
+        o0, d0 = camera_rays(cam, idx, keys0, jitter=False)
+        primary = trace_fn(o0, d0, jnp.ones(idx.shape, bool))
+
     def one_sample(i, st: AccumState) -> AccumState:
         keys = pixel_keys(sample_key(base_key, st.n), idx)
         o, d = camera_rays(cam, idx, keys, jitter=cfg.jitter)
-        sample = _radiance(o, d, scene, trace_fn, keys, cfg)
+        sample = _radiance(o, d, scene, trace_fn, keys, cfg,
+                           primary_hit=primary)
         return _accum_update(st, sample, cfg.compensated_accum)
 
     return jax.lax.fori_loop(0, num_samples, one_sample, state)
@@ -199,6 +212,11 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
         bvh = build_bvh_for_scene(scene, cfg.leaf_size)
     if state is None:
         state = init_accum(cfg)
+    if (not cfg.reuse_primary_hit and not cfg.jitter
+            and float(cam.radius) == 0.0):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, reuse_primary_hit=True)
     base_key = jax.random.PRNGKey(seed)
 
     done = int(state.n)
@@ -238,6 +256,40 @@ def _build_flat_host(verts, tris, leaf_size: int, use_native: bool):
                    np.asarray(flat.node_hi_z)], axis=1)
     return (lo, hi, np.asarray(flat.node_skip), np.asarray(flat.node_leaf),
             np.asarray(flat.leaf_tri))
+
+
+def _repack_clusters(cl_lo, cl_hi, cl_tri, num_tris: int, C: int):
+    """Greedily merge preorder-consecutive under-full SAH leaves into full
+    clusters. SAH recursion stops at <= C tris, leaving leaves ~65% full on
+    average; every pad slot costs a full VPU lane in the dense kernels.
+    Preorder-adjacent leaves are siblings/cousins, so the merged box is
+    close to their common ancestor's — slightly looser culling traded for
+    ~1.4x fewer intersection slots (measured net win)."""
+    # NOTE an aggressive bin-packing variant (splitting leaves across
+    # clusters for ~100% occupancy) measured WORSE: the looser merged boxes
+    # admit more candidates than the fuller lanes save. Merge only whole
+    # leaves whose combined count fits.
+    counts = (cl_tri < num_tris).sum(axis=1)
+    K = cl_tri.shape[0]
+    groups = []
+    start, acc = 0, 0
+    for k in range(K):
+        if acc + counts[k] > C and acc > 0:
+            groups.append((start, k))
+            start, acc = k, 0
+        acc += counts[k]
+    groups.append((start, K))
+
+    lo = np.empty((len(groups), 3), np.float32)
+    hi = np.empty((len(groups), 3), np.float32)
+    tri = np.full((len(groups), C), num_tris, np.int32)
+    for g, (a, b) in enumerate(groups):
+        lo[g] = cl_lo[a:b].min(axis=0)
+        hi[g] = cl_hi[a:b].max(axis=0)
+        ids = cl_tri[a:b].reshape(-1)
+        ids = ids[ids < num_tris]
+        tri[g, : ids.shape[0]] = ids
+    return lo, hi, tri
 
 
 def _upload_flat(lo, hi, skip, leaf, leaf_tri):
@@ -284,7 +336,8 @@ def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,
     # cluster extraction on host arrays (leaves in leaf-id order == preorder)
     sel = np.flatnonzero(c_leaf >= 0)
     sel = sel[np.argsort(c_leaf[sel])]
-    cl_lo, cl_hi, cl_tri = c_lo[sel], c_hi[sel], c_ltri
+    cl_lo, cl_hi, cl_tri = _repack_clusters(
+        c_lo[sel], c_hi[sel], c_ltri, tris.shape[0], cluster_size)
     return Accel(
         fine=fine,
         cl_lo_x=jnp.asarray(cl_lo[:, 0]),

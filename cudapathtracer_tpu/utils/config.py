@@ -42,6 +42,13 @@ class RenderConfig:
     jitter: bool = False
     # accumulation
     compensated_accum: bool = True  # Kahan compensation (reference uses f64)
+    # primary rays are identical every sample when the camera is a pinhole
+    # (radius == 0) and jitter is off — the reference's exact live config
+    # (kernel.cu:646, no sub-pixel jitter). With this flag the renderer
+    # traces them once per batch instead of once per sample. Set by
+    # render()/bench automatically (they see the concrete camera); only
+    # valid under the pinhole/no-jitter condition.
+    reuse_primary_hit: bool = False
 
     @property
     def num_pixels(self):
