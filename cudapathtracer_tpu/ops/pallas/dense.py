@@ -55,7 +55,8 @@ _TRI_SENTINEL = 0x7FFFFFFF
 _LANES = 128       # Mosaic DMA slices must be lane-aligned
 _TILE_GROUP = 8    # tiles per grid step (sublane-divisibility of blocks)
 _NBUF = 4          # cluster DMA pipeline depth
-MAX_SHORTLIST = 1023  # ids row = [count, id0..id1022] -> 1024 lanes
+MAX_SHORTLIST = 4095  # shortlist cap; SMEM row width adapts to the
+#                       actual M (multiples of 128 lanes)
 _ID_OFFSET = float(1 << 23)  # exact-integer float window for triangle ids
 MAX_TRIS = (1 << 23) - 2     # ids (incl. the pad id T) must stay exact
 _MASKED_T_INIT = -3.0e38  # masked lanes start below any real t so they
@@ -304,7 +305,7 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, num_tris,
     C = cl_packed.shape[1]
     G = _TILE_GROUP
     assert M <= MAX_SHORTLIST, f"max_clusters {M} > {MAX_SHORTLIST}"
-    W = MAX_SHORTLIST + 1  # 512 lanes
+    W = -(-(M + 1) // 128) * 128  # lane-aligned row width
     meta = jnp.asarray(num_tris, jnp.int32).reshape(1)
 
     # ids row = [count, id0..idM-1, 0...]; entries row lane-padded with +inf

@@ -216,8 +216,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     Tl, M = ids.shape
     P = rays.shape[1]
     G = _TILE_GROUP
-    W = 1024
-    assert M + 1 <= W
+    W = -(-(M + 1) // 128) * 128  # lane-aligned row width
     K = cl_packed.shape[0] - 1
     meta = jnp.stack([jnp.asarray(num_tris, jnp.int32),
                       jnp.asarray(K, jnp.int32)])

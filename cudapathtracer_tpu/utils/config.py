@@ -30,7 +30,7 @@ class RenderConfig:
     tile_size: int = 256            # rays per packet tile
     cluster_size: int = 128         # triangles per scene cluster (128 =
     #                                 VMEM-resident kernel eligible)
-    max_clusters: int = 1023        # shortlist cap per tile (pallas loops
+    max_clusters: int = 4095        # shortlist cap per tile (pallas loops
     #                                 only each tile's true candidate count)
     packet_sort: bool = True        # sort rays by octant+origin Morton
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
