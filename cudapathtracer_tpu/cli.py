@@ -100,6 +100,12 @@ def cmd_render(args):
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.profiling import RenderTimer
 
+    # device banner (the reference's cudaGetDeviceProperties block,
+    # kernel.cu:567-584)
+    devs = jax.devices()
+    print(f"devices: {len(devs)} x {devs[0].device_kind} "
+          f"({devs[0].platform})", file=sys.stderr)
+
     scene = build_scene(args)
     cfg = make_config(args)
     cam = make_camera(pos=tuple(args.camera), width=cfg.width,

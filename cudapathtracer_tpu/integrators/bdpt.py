@@ -72,8 +72,13 @@ CAM_IND = PATH_SIZE - 1
 
 
 def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
-                  params: BDPTParams = BDPTParams()) -> Vec3:
-    """Estimate radiance for R camera rays. trace_fn(o, d, mask) -> Hit."""
+                  params: BDPTParams = BDPTParams(),
+                  primary_hit=None) -> Vec3:
+    """Estimate radiance for R camera rays. trace_fn(o, d, mask) -> Hit.
+
+    ``primary_hit``: optional precomputed Hit for the camera rays (the
+    x[3] trace, kernel.cu:306-328) — sample-invariant under a pinhole
+    camera with no jitter, so the renderer traces it once per batch."""
     if scene.num_spheres > 0:
         raise NotImplementedError(
             "the BDPT integrator is triangles-only (like the reference's — "
@@ -134,7 +139,7 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     inv_prob[CAM_IND] = jnp.ones((R,))
 
     # ---- camera vertex 3: first hit (kernel.cu:306-328) ------------------
-    hit = trace_fn(o, d, all_on)
+    hit = primary_hit if primary_hit is not None else trace_fn(o, d, all_on)
     t = hit.t - EPS_HIT
     missed = t > MAX_FLOAT - 1.0
     tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))

@@ -151,7 +151,8 @@ def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig,
         return radiance_pt_nee(o, d, scene, trace_fn, keys, params,
                                primary_hit=primary_hit)
     params = BDPTParams(orthonormal_frame=cfg.orthonormal_frame)
-    return radiance_bdpt(o, d, scene, trace_fn, keys, params)
+    return radiance_bdpt(o, d, scene, trace_fn, keys, params,
+                         primary_hit=primary_hit)
 
 
 def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
@@ -174,8 +175,7 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
         idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
     primary = None
-    if (cfg.reuse_primary_hit and cfg.integrator == "pt_nee"
-            and not cfg.jitter):
+    if cfg.reuse_primary_hit and not cfg.jitter:
         # pinhole + no jitter: every sample's primary rays are identical
         # (cfg.reuse_primary_hit is only set when the camera radius is 0),
         # so the first trace of the bounce loop is batch-invariant

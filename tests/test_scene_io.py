@@ -124,3 +124,33 @@ def test_emissive_detection_red_channel_quirk():
     assert s.num_lights == 0
     s2 = make_scene(verts, tris, [0], [[1, 1, 1]], [[2.0, 0.0, 0.0]])
     assert s2.num_lights == 1
+
+
+def test_obj_roundtrip_render_parity(tmp_path):
+    """End-to-end at scale: colonnade written as OBJ+MTL, parsed back (the
+    native parser when available), must render the IDENTICAL image as the
+    procedural scene — loader, material mapping, normals, light table and
+    accel all agree."""
+    import cudapathtracer_tpu as cpt
+    from cudapathtracer_tpu.models import procedural
+    from cudapathtracer_tpu.models.loader import load_obj
+
+    desc = procedural.colonnade(subdiv=1)
+    po, pm = str(tmp_path / "c.obj"), str(tmp_path / "c.mtl")
+    procedural.write_obj(po, pm, desc)
+    loaded = load_obj(po)
+    ref = procedural.to_scene(desc)
+    assert loaded.num_tris == ref.num_tris
+    assert abs(float(loaded.total_light_area)
+               - float(ref.total_light_area)) < 1e-4
+
+    cam = cpt.make_camera(pos=(0.0, 2.5, 8.0), width=32, height=32,
+                          focal_length=3.0)
+    cfg = cpt.RenderConfig(width=32, height=32, spp=2,
+                           integrator="pt_nee", samples_per_call=2)
+    a = cpt.render(loaded, cam, cfg, seed=5)
+    b = cpt.render(ref, cam, cfg, seed=5)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(a.img.x), np.asarray(b.img.x),
+                               rtol=1e-4, atol=1e-5)
