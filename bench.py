@@ -14,7 +14,7 @@ Config follows BASELINE.md's target shape (sponza-scale scene at 1024^2);
 spp here is a measurement window, not a quality setting — throughput is
 flat across spp because every sample is the same program.
 
-Env knobs: BENCH_SPP (default 4), BENCH_SIZE (default 1024), BENCH_SUBDIV
+Env knobs: BENCH_SPP (default 16), BENCH_SIZE (default 1024), BENCH_SUBDIV
 (colonnade sphere subdiv, default 3 => ~44k tris).
 """
 
@@ -35,7 +35,7 @@ def main():
         render_batch_jit,
     )
 
-    spp = int(os.environ.get("BENCH_SPP", "4"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     subdiv = int(os.environ.get("BENCH_SUBDIV", "3"))
 

@@ -342,11 +342,12 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             resident_fits,
         )
 
+        rays = jnp.stack(
+            [ox, oy, oz, dx, dy, dz, mrow, jnp.zeros_like(ox)], axis=1
+        )  # (Tl, 8, P): rays + lane mask (masked lanes must not block the
+        #    kernel's early exit); lane-dim P keeps the array unpadded
         if C % 128 == 0 and resident_fits(K, C):
             # whole scene pinned in VMEM: every slot is pure VPU work
-            rays = jnp.stack(
-                [ox, oy, oz, dx, dy, dz, mrow, jnp.zeros_like(ox)], axis=2
-            )  # (Tl, P, 8)
             t_best, tri_best = dense_intersect_resident(
                 ids, counts, entries, rays, pack_clusters_resident(pd),
                 pd.num_tris, interpret=interpret,
@@ -354,10 +355,6 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         else:
             from .pallas.dense import dense_intersect, pack_clusters
 
-            rays = jnp.stack(
-                [ox, oy, oz, dx, dy, dz, mrow, jnp.zeros_like(ox)], axis=1
-            )  # (Tl, 8, P): rays + lane mask (masked lanes must not block
-            #    the kernel's early exit)
             t_best, tri_best = dense_intersect(
                 ids, counts, entries, rays, pack_clusters(pd), pd.num_tris,
                 interpret=interpret,

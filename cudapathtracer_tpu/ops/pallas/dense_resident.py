@@ -132,7 +132,7 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
     i = pl.program_id(0)
     num_tris = meta_ref[0]
     sentinel = meta_ref[1]  # K: the all-degenerate resident row
-    P = rays_ref.shape[1]
+    P = rays_ref.shape[2]
     G = _TILE_GROUP
     W = slid.shape[1]
 
@@ -147,7 +147,11 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
 
     def one_tile(g, _):
         cnt = slid[g, 0]
-        tile = rays_ref[pl.ds(g, 1)].reshape(P, 8)
+        # rays arrive (8, P) — lane-dim P so the HBM array is unpadded
+        # ((Tl, P, 8) would be lane-padded 16x by the (8,128) tiling, which
+        # at 2048^2 alone exceeded HBM); one small transpose per tile gives
+        # the (P, 1) columns the math wants
+        tile = jnp.transpose(rays_ref[pl.ds(g, 1)].reshape(8, P))  # (P, 8)
         ox = tile[:, 0:1]
         oy = tile[:, 1:2]
         oz = tile[:, 2:3]
@@ -196,7 +200,8 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
         out = jnp.concatenate(
             [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
         )  # (P, 2); id == -1 -> 2^23 - 1, still exact
-        out_ref[pl.ds(g, 1)] = out.reshape(1, P, 2)
+        # store transposed (2, P): lane-dim P keeps the output unpadded
+        out_ref[pl.ds(g, 1)] = jnp.transpose(out).reshape(1, 2, P)
         return 0
 
     jax.lax.fori_loop(0, G, one_tile, 0)
@@ -208,13 +213,14 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
-    rays:      (Tl, P, 8) f32 — columns o.xyz / d.xyz / lane-mask / pad
+    rays:      (Tl, 8, P) f32 — rows o.xyz / d.xyz / lane-mask / pad
+               (lane-dim P: an unpadded HBM layout — see the kernel note)
     cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!)
 
     Returns (t (Tl, P) f32, tri (Tl, P) i32).
     """
     Tl, M = ids.shape
-    P = rays.shape[1]
+    P = rays.shape[2]
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
     K = cl_packed.shape[0] - 1
@@ -235,19 +241,19 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
         slent = jnp.concatenate(
             [slent, jnp.full((Tp - Tl, W), jnp.inf, jnp.float32)], axis=0)
         rays = jnp.concatenate(
-            [rays, jnp.zeros((Tp - Tl, P, 8), rays.dtype)], axis=0)
+            [rays, jnp.zeros((Tp - Tl, 8, P), rays.dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((G, P, 8), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, 8, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident scene
             pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist ids
             pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist entries
         ],
-        out_specs=pl.BlockSpec((G, P, 2), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, 2, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((G, W), jnp.int32),
@@ -258,9 +264,9 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tp, P, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,
     )(meta, rays, cl_packed, slid, slent)
-    t = out[:Tl, :, 0]
-    tri = (out[:Tl, :, 1] - _ID_OFFSET).astype(jnp.int32)
+    t = out[:Tl, 0, :]
+    tri = (out[:Tl, 1, :] - _ID_OFFSET).astype(jnp.int32)
     return t, tri

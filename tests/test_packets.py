@@ -168,3 +168,36 @@ def test_render_packets_matches_bvh_render(setup):
                  (sp.img.z, sb.img.z)]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_resident_engine_interpret_matches_xla():
+    """The VMEM-resident kernel (C=128 path) in interpreter mode agrees
+    with the XLA engine (the other interpret test covers the DMA kernel,
+    whose C=16 fixture is not resident-eligible)."""
+    scene = procedural.to_scene(procedural.cornell_with_sphere_mesh(subdiv=2))
+    accel = build_bvh_for_scene(scene, leaf_size=4, cluster_size=128)
+    td = traversal.make_trace_data(scene, accel.fine)
+    pd = packets.make_packet_data(
+        scene,
+        Vec3(accel.cl_lo_x, accel.cl_lo_y, accel.cl_lo_z),
+        Vec3(accel.cl_hi_x, accel.cl_hi_y, accel.cl_hi_z),
+        accel.cl_tri,
+    )
+    from cudapathtracer_tpu.ops.pallas.dense_resident import resident_fits
+
+    assert pd.cluster_size % 128 == 0
+    assert resident_fits(pd.num_clusters, pd.cluster_size)
+
+    cam = make_camera(width=16, height=16)
+    idx = jnp.arange(16 * 16, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(0), 0), idx)
+    o, d = camera_rays(cam, idx, keys, jitter=False)
+    mask = (jnp.arange(256) % 7) != 0
+    hx = packets.trace_packets(o, d, pd, fine_td=td, mask=mask,
+                               tile_size=64, max_clusters=16, engine="xla")
+    hp = packets.trace_packets(o, d, pd, fine_td=td, mask=mask,
+                               tile_size=64, max_clusters=16,
+                               engine="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hx.tri))
+    np.testing.assert_allclose(np.asarray(hp.t), np.asarray(hx.t),
+                               rtol=1e-6, atol=1e-6)
