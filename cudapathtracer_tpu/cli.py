@@ -203,6 +203,27 @@ def cmd_heatmap(args):
     print(f"wrote {args.output} ({scene.num_tris} rows, "
           f"{int(stats.steps)} traversal steps)", file=sys.stderr)
 
+    if args.falsecolor:
+        # the 'sponza bvh.ppm' keeper: per-pixel traversal-cost falsecolor
+        import numpy as np
+
+        from .render.renderer import finalize_image, init_accum
+        from .ops.vecmath import Vec3
+        from .render.renderer import AccumState
+
+        v = stats.ray_visits.astype(jnp.float32)
+        v = v / jnp.maximum(1.0, jnp.max(v))
+        st = AccumState(
+            img=Vec3(v * 4.0, 1.0 - v, jnp.zeros_like(v)),  # red = costly
+            comp=Vec3(jnp.zeros_like(v), jnp.zeros_like(v),
+                      jnp.zeros_like(v)),
+            n=jnp.ones((), jnp.int32),
+        )
+        from . import write_render
+
+        write_render(args.falsecolor, st, cfg)
+        print(f"wrote {args.falsecolor} (BVH falsecolor)", file=sys.stderr)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cudapathtracer_tpu",
@@ -259,6 +280,9 @@ def main(argv=None):
     h = sub.add_parser("heatmap", help="BVH visit histogram CSV (out.csv)")
     common(h)
     h.add_argument("-o", "--output", default="out.csv")
+    h.add_argument("--falsecolor", default=None, metavar="IMG",
+                   help="also write a per-pixel traversal-cost falsecolor "
+                        "render (the reference's 'sponza bvh' keeper)")
     h.set_defaults(fn=cmd_heatmap)
 
     args = p.parse_args(argv)

@@ -131,10 +131,13 @@ def _closest_update(ts, tri_ids, t_best, tri_best):
 
 class TraceStats(NamedTuple):
     """Instrumentation mirroring the reference's per-triangle visit counter
-    (kernel.cu:133, dumped to out.csv at kernel.cu:742-750) plus step count."""
+    (kernel.cu:133, dumped to out.csv at kernel.cu:742-750) plus step count
+    and a per-RAY node-visit count (the BVH falsecolor visualization of the
+    'sponza bvh' keeper)."""
 
     tri_visits: jnp.ndarray  # (T+1,) i32 — slot T collects pad visits
     steps: jnp.ndarray       # () i32 — while-loop iterations for the batch
+    ray_visits: jnp.ndarray  # (R,) i32 — nodes visited per ray
 
 
 class _LoopState(NamedTuple):
@@ -143,6 +146,7 @@ class _LoopState(NamedTuple):
     tri_best: jnp.ndarray
     tri_visits: jnp.ndarray
     steps: jnp.ndarray
+    ray_visits: jnp.ndarray
 
 
 def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
@@ -225,9 +229,12 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
             visits = s.tri_visits.at[
                 jnp.where(do_leaf[:, None], tri_ids, nvis - 1)
             ].add(1, mode="drop")
+            rvis = s.ray_visits + active.astype(jnp.int32)
         else:
             visits = s.tri_visits
-        return _LoopState(cursor, t_best, tri_best, visits, s.steps + 1)
+            rvis = s.ray_visits
+        return _LoopState(cursor, t_best, tri_best, visits, s.steps + 1,
+                          rvis)
 
     start = jnp.zeros((R,), jnp.int32)
     if mask is not None:
@@ -238,11 +245,14 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
         tri_best=jnp.full((R,), -1, jnp.int32),
         tri_visits=jnp.zeros((nvis,), jnp.int32),
         steps=jnp.zeros((), jnp.int32),
+        ray_visits=jnp.zeros((R if with_stats else 1,), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
     hit = Hit(tri=out.tri_best, t=out.t_best)
     if with_stats:
-        return hit, TraceStats(tri_visits=out.tri_visits, steps=out.steps)
+        return hit, TraceStats(tri_visits=out.tri_visits,
+                               steps=out.steps,
+                               ray_visits=out.ray_visits)
     return hit
 
 

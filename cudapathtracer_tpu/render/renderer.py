@@ -366,6 +366,14 @@ def finalize_image(state: AccumState, cfg: RenderConfig):
 
 
 def write_render(path, state: AccumState, cfg: RenderConfig):
-    from ..utils.ppm import write_ppm
+    """Tonemapped image to disk; format by extension (.ppm default, .png
+    via the dependency-free writer in utils/png.py)."""
+    img = finalize_image(state, cfg)
+    if str(path).lower().endswith(".png"):
+        from ..utils.png import write_png
 
-    write_ppm(path, finalize_image(state, cfg), flip_x=True)
+        write_png(path, img, flip_x=True)
+    else:
+        from ..utils.ppm import write_ppm
+
+        write_ppm(path, img, flip_x=True)

@@ -57,3 +57,25 @@ def test_read_reference_keeper_format():
     img = ppm.read_ppm(keeper)
     assert img.shape == (512, 512, 3)
     assert img.max() > 0
+
+
+def test_png_roundtrip_matches_ppm():
+    """PNG writer (utils/png.py): same image as the PPM path, lossless."""
+    import numpy as np
+
+    from cudapathtracer_tpu.utils.png import read_png, write_png
+    from cudapathtracer_tpu.utils.ppm import read_ppm, write_ppm
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pp = os.path.join(d, "a.ppm")
+        pg = os.path.join(d, "a.png")
+        write_ppm(pp, img)
+        write_png(pg, img)
+        a = read_ppm(pp)
+        b = read_png(pg)
+        assert np.array_equal(a, b)
+        assert np.array_equal(b, img[:, ::-1])  # reference x-flip layout
