@@ -45,10 +45,11 @@ def main():
                        integrator="pt_nee", samples_per_call=spp,
                        reuse_primary_hit=True)  # pinhole camera, no jitter
     t0 = time.time()
-    bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+    bvh = build_bvh_for_scene(scene, cfg.leaf_size,
+                              cluster_size=cfg.cluster_size)
     t_build = time.time() - t0
-    cam = make_camera(pos=(0.0, 2.5, 8.0), width=size, height=size,
-                      focal_length=3.0)
+    cam = make_camera(pos=(0.0, 2.0, 3.4), width=size, height=size,
+                      focal_length=2.0)
     key = jax.random.PRNGKey(1234)
 
     import numpy as np

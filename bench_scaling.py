@@ -47,8 +47,8 @@ def main():
 
     scene = procedural.to_scene(procedural.colonnade(subdiv=subdiv))
     accel = build_bvh_for_scene(scene, 4)
-    cam = cpt.make_camera(pos=(0.0, 2.5, 8.0), width=size, height=size,
-                          focal_length=3.0)
+    cam = cpt.make_camera(pos=(0.0, 2.0, 3.4), width=size, height=size,
+                          focal_length=2.0)
     cfg = cpt.RenderConfig(width=size, height=size, spp=spp,
                            integrator="pt_nee", samples_per_call=spp)
     key = jax.random.PRNGKey(7)

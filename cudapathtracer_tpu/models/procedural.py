@@ -287,20 +287,24 @@ def colonnade(n_cols: int = 8, n_rows: int = 2, subdiv: int = 3, seed: int = 0):
             sv = sphere_v * 0.35 + np.array([x, H - 0.45, z], np.float32)
             add_mesh(sv, sphere_f, RED if rng.random() < 0.3 else STONE)
 
-    # ceiling light strips (downward-facing)
+    # hanging light strips, downward-facing (normal (0,-1,0) — the pt_nee
+    # 'fixed' light-normal quirk assumes it, kernel.cu:503). They hang BELOW
+    # the capital/ornament canopy (y = H-1.5 < capitals at H-1.2) so the
+    # floor actually receives light — at ceiling height the canopy occludes
+    # nearly every shadow ray and the render is black.
     n_strips = max(2, n_cols // 2)
     for i in range(n_strips):
         x0 = -W / 2 + (i + 0.5) * W / n_strips - 0.6
         base = len(verts)
-        y = H - 0.01
+        y = H - 1.5
         verts.extend(
             [
                 (x0, y, -D / 4), (x0 + 1.2, y, -D / 4),
                 (x0 + 1.2, y, D / 4), (x0, y, D / 4),
             ]
         )
-        # wind so normal = (0,-1,0)
-        tris.extend([(base, base + 2, base + 1), (base, base + 3, base + 2)])
+        # winding (0,1,2)/(0,2,3) gives cross(v1-v0, v2-v0) ~ -y
+        tris.extend([(base, base + 1, base + 2), (base, base + 2, base + 3)])
         mats.extend([LIGHT, LIGHT])
 
     return dict(

@@ -106,7 +106,10 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     t = e2x * rx + e2y * ry + e2z * rz
     ts = jnp.where(reject, MAX_FLOAT, t)
 
-    valid = (tid < num_tris) & (ts > 0.0) & (ts <= t_best)
+    # NOTE no (ts <= t_best) term: the closest-fold below makes it
+    # redundant (candidates worse than t_best lose `better`; equal-t
+    # candidates resolve by the same lower-id rule either way)
+    valid = (tid < num_tris) & (ts > 0.0)
     ts = jnp.where(valid, ts, MAX_FLOAT)
 
     t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)

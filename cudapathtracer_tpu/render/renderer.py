@@ -209,7 +209,8 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
     ``seed=1234`` mirrors the reference's curand seed (kernel.cu:532).
     """
     if cfg.traversal in ("bvh", "packets") and bvh is None:
-        bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+        bvh = build_bvh_for_scene(scene, cfg.leaf_size,
+                                  cluster_size=cfg.cluster_size)
     if state is None:
         state = init_accum(cfg)
     if (not cfg.reuse_primary_hit and not cfg.jitter
@@ -308,8 +309,17 @@ def _upload_flat(lo, hi, skip, leaf, leaf_tri):
     )
 
 
+def adaptive_cluster_size(num_tris: int) -> int:
+    """Default cluster granularity: ~T/8192 rounded up to a multiple of 128
+    (measured sweet spots: 128 at ~5k tris, 384-512 at ~20k, 1024 at 300k+).
+    Multiples of 128 keep the VMEM-resident kernel eligible."""
+    import math
+
+    return min(1024, max(128, 128 * math.ceil(num_tris / 8192)))
+
+
 def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,
-                        cluster_size: int = 128) -> Accel:
+                        cluster_size: int | None = None) -> Accel:
     """Host accel build (the reference's pre-render buildBVH, kernel.cu:601).
 
     Returns the Accel bundle: the fine per-ray BVH (``leaf_size``) plus the
@@ -330,6 +340,8 @@ def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,
             [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
              np.asarray(scene.tri_v2)], axis=1
         )
+    if cluster_size is None:
+        cluster_size = adaptive_cluster_size(tris.shape[0])
     fine = _upload_flat(*_build_flat_host(verts, tris, leaf_size, use_native))
     c_lo, c_hi, c_skip, c_leaf, c_ltri = _build_flat_host(
         verts, tris, cluster_size, use_native)

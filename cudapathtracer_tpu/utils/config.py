@@ -28,8 +28,9 @@ class RenderConfig:
     samples_per_call: int = 1       # progressive granularity (checkpoint unit)
     # packet-traversal knobs (ops/packets.py)
     tile_size: int = 256            # rays per packet tile
-    cluster_size: int = 128         # triangles per scene cluster (128 =
-    #                                 VMEM-resident kernel eligible)
+    cluster_size: int | None = None  # triangles per scene cluster; None =
+    #                                  adaptive (~T/8192 rounded to 128s —
+    #                                  bigger scenes get bigger clusters)
     max_clusters: int = 4095        # shortlist cap per tile (pallas loops
     #                                 only each tile's true candidate count)
     packet_sort: bool = True        # sort rays by octant+origin Morton

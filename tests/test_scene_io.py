@@ -144,8 +144,8 @@ def test_obj_roundtrip_render_parity(tmp_path):
     assert abs(float(loaded.total_light_area)
                - float(ref.total_light_area)) < 1e-4
 
-    cam = cpt.make_camera(pos=(0.0, 2.5, 8.0), width=32, height=32,
-                          focal_length=3.0)
+    cam = cpt.make_camera(pos=(0.0, 2.0, 3.4), width=32, height=32,
+                          focal_length=2.0)
     cfg = cpt.RenderConfig(width=32, height=32, spp=2,
                            integrator="pt_nee", samples_per_call=2)
     a = cpt.render(loaded, cam, cfg, seed=5)
