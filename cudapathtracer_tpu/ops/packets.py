@@ -212,7 +212,9 @@ def ray_sort_keys(o: Vec3, d: Vec3, mask, lo: Vec3, hi: Vec3):
 def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   fine_td: TraceData | None = None, mask=None,
                   tile_size: int = 256, max_clusters: int = 32,
-                  engine: str = "xla", sort: bool = False) -> Hit:
+                  engine: str = "xla", sort: bool = False,
+                  rounds: int = 1, first_round_slots: int = 3,
+                  _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
     Semantics identical to ``traversal.trace`` / ``trace_bruteforce``:
@@ -231,6 +233,38 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     pd = jax.lax.stop_gradient(pd)
+
+    if rounds > 1:
+        # Straggler splitting: most rays resolve within the first few
+        # entry-sorted candidates, but a tile runs to its SLOWEST lane.
+        # Early rounds cap every tile at a small candidate budget
+        # (first_round_slots, growing 4x per round); rays whose best hit
+        # exceeds the dropped-candidate bound carry into the next round,
+        # where sorting compacts them into far fewer live tiles. The final
+        # round runs the full shortlist (plus the fine-BVH fallback).
+        m_cur = mask if mask is not None else jnp.ones((o.x.shape[0],), bool)
+        acc_t = jnp.full((o.x.shape[0],), MAX_FLOAT, jnp.float32)
+        acc_tri = jnp.full((o.x.shape[0],), -1, jnp.int32)
+        budget = int(first_round_slots)
+        for _ in range(rounds - 1):
+            hi, need = trace_packets(
+                o, d, pd, fine_td=None, mask=m_cur, tile_size=tile_size,
+                max_clusters=min(budget, int(max_clusters)),
+                engine=engine, sort=sort, rounds=1, _need_out=True,
+            )
+            done = m_cur & jnp.logical_not(need)
+            acc_t = jnp.where(done, hi.t, acc_t)
+            acc_tri = jnp.where(done, hi.tri, acc_tri)
+            m_cur = need
+            budget *= 4
+        hf = trace_packets(
+            o, d, pd, fine_td=fine_td, mask=m_cur, tile_size=tile_size,
+            max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
+        )
+        return Hit(
+            tri=jnp.where(m_cur, hf.tri, acc_tri),
+            t=jnp.where(m_cur, hf.t, acc_t),
+        )
 
     R = o.x.shape[0]
     P = int(tile_size)
@@ -255,28 +289,31 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
              mask.astype(jnp.float32), jnp.zeros_like(o.x)], axis=1
         )
         rows = jnp.take(rows, perm, axis=0)
-        hit = trace_packets(
+        out = trace_packets(
             Vec3(rows[:, 0], rows[:, 1], rows[:, 2]),
             Vec3(rows[:, 3], rows[:, 4], rows[:, 5]),
             pd, fine_td=fine_td, mask=rows[:, 6] > 0.5,
             tile_size=tile_size, max_clusters=max_clusters,
-            engine=engine, sort=False,
+            engine=engine, sort=False, _need_out=_need_out,
         )
+        hit, need = out if _need_out else (out, None)
         # un-sort with the inverse permutation (argsort of perm; a row
         # SCATTER measured slower than gather-by-inverse on TPU).
         # Results travel as int32 rows: bitcasting tri ids to f32 would
         # make them denormals, which the TPU flushes to zero in relayouts;
         # t >= 0 always, and positive f32 bitcast to i32 is lossless.
         inv = jnp.argsort(perm)
-        res = jnp.stack(
-            [jax.lax.bitcast_convert_type(hit.t, jnp.int32), hit.tri],
-            axis=1,
-        )
-        res = jnp.take(res, inv, axis=0)
-        return Hit(
+        cols = [jax.lax.bitcast_convert_type(hit.t, jnp.int32), hit.tri]
+        if _need_out:
+            cols.append(need.astype(jnp.int32))
+        res = jnp.take(jnp.stack(cols, axis=1), inv, axis=0)
+        hit = Hit(
             tri=res[:, 1],
             t=jax.lax.bitcast_convert_type(res[:, 0], jnp.float32),
         )
+        if _need_out:
+            return hit, res[:, 2] > 0
+        return hit
 
     def padv(a, fill):
         if Rp == R:
@@ -359,7 +396,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 ids, counts, entries, rays, pack_clusters(pd), pd.num_tris,
                 interpret=interpret,
             )
-        return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P)
+        return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
+                       need_out=_need_out)
 
     o_b = Vec3(ox[:, :, None], oy[:, :, None], oz[:, :, None])
     d_b = Vec3(dx[:, :, None], dy[:, :, None], dz[:, :, None])
@@ -395,20 +433,29 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         jnp.full((Tl, P), -1, jnp.int32),
     )
     (t_best, tri_best), _ = jax.lax.scan(slot, init, ids.T)
-    return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P)
+    return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
+                   need_out=_need_out)
 
 
-def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P) -> Hit:
-    """Trim padding, apply the lane mask and the overflow fallback."""
+def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
+            need_out: bool = False):
+    """Trim padding, apply the lane mask and the overflow fallback.
+
+    ``need_out=True`` skips the fallback and instead returns the mask of
+    rays whose result could still be beaten by a dropped candidate (the
+    multi-round splitting in trace_packets re-traces exactly those)."""
     t_flat = t_best.reshape(-1)[:R]
     tri_flat = tri_best.reshape(-1)[:R]
     t_flat = jnp.where(mask, t_flat, MAX_FLOAT)
     tri_flat = jnp.where(mask, tri_flat, -1)
+    u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
+    need_fb = mask & (t_flat > u_ray)
+
+    if need_out:
+        return Hit(tri=tri_flat, t=t_flat), need_fb
 
     # ---- overflow fallback (unconditional correctness) ---------------------
     if fine_td is not None:
-        u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
-        need_fb = mask & (t_flat > u_ray)
         fb = trace(o, d, fine_td, mask=need_fb)
         t_flat = jnp.where(need_fb, fb.t, t_flat)
         tri_flat = jnp.where(need_fb, fb.tri, tri_flat)

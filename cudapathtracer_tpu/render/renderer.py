@@ -129,6 +129,8 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 o, d, pdata, fine_td=td, mask=mask,
                 tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
                 engine=engine, sort=cfg.packet_sort,
+                rounds=cfg.packet_rounds,
+                first_round_slots=cfg.packet_first_round,
             )
 
         return with_spheres(trace_fn), td

@@ -34,6 +34,13 @@ class RenderConfig:
     max_clusters: int = 4095        # shortlist cap per tile (pallas loops
     #                                 only each tile's true candidate count)
     packet_sort: bool = True        # sort rays by octant+origin Morton
+    packet_rounds: int = 2          # straggler splitting: early rounds cap
+    #                                 each tile's candidate budget; stragglers
+    #                                 compact into the next pass (measured
+    #                                 +19% on the interior bench; 3 rounds
+    #                                 measured worse — per-round sort/cull
+    #                                 overhead)
+    packet_first_round: int = 2     # round-1 candidate budget per tile
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
     #                                 'pallas_interpret' (CPU debugging)
     # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)

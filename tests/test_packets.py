@@ -201,3 +201,23 @@ def test_pallas_resident_engine_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hx.tri))
     np.testing.assert_allclose(np.asarray(hp.t), np.asarray(hx.t),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_multi_round_splitting_exact(setup):
+    """rounds=2 (straggler splitting) must stay exact vs brute force, with
+    coherent, incoherent and masked batches."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, rounds=2,
+                               first_round_slots=2, sort=True)
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+    R = o.x.shape[0]
+    mask = (jnp.arange(R) % 3) != 0
+    hp2 = packets.trace_packets(o, d, pd, fine_td=td, mask=mask,
+                                tile_size=64, max_clusters=8, rounds=2,
+                                first_round_slots=1, sort=True)
+    hb2 = traversal.trace_bruteforce(o, d, scene, mask=mask)
+    np.testing.assert_array_equal(np.asarray(hp2.tri), np.asarray(hb2.tri))
