@@ -124,12 +124,17 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
             engine = "pallas" if jax.default_backend() not in ("cpu",) \
                 else "xla"
 
+        # straggler rounds pay off on pt_nee's long incoherent bounce
+        # batches; BDPT's 7 calls/sample are short shadow/subpath traces
+        # where the per-round sort overhead measured as a net loss
+        rounds = cfg.packet_rounds if cfg.integrator == "pt_nee" else 1
+
         def trace_fn(o, d, mask):
             return packets.trace_packets(
                 o, d, pdata, fine_td=td, mask=mask,
                 tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
                 engine=engine, sort=cfg.packet_sort,
-                rounds=cfg.packet_rounds,
+                rounds=rounds,
                 first_round_slots=cfg.packet_first_round,
             )
 
