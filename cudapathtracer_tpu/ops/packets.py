@@ -24,6 +24,12 @@ ray we restructure the search around what the hardware is good at:
    dropped cluster. The rare rays with ``t > U`` (shortlist overflow) are
    re-traced through the fine per-ray BVH (ops/traversal.py) under a mask —
    a masked-out ``lax.while_loop`` costs ~zero when no lane needs it.
+6. **Straggler splitting** (``rounds > 1``): a tile runs to its slowest
+   lane, yet most rays resolve within the first couple of entry-sorted
+   candidates. Early rounds cap every tile at a tiny candidate budget and
+   reuse the U bound to identify unresolved rays, which re-sort and
+   compact into far fewer live tiles for the next round (+19-38% measured
+   on interior workloads).
 
 Results are bit-identical to the brute-force oracle (tests/test_packets.py):
 each (ray, triangle) test computes the same f32 value as

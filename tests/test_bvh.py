@@ -128,3 +128,35 @@ def test_trace_under_jit_and_grad_safety():
     h1 = jitted(o, d)
     h2 = traversal.trace(o, d, td)
     np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
+
+
+def test_trace_stats_under_jit():
+    """with_stats works under jit when num_tris_static is passed (the
+    histogram size must be static; td.num_tris is a tracer under jit)."""
+    import jax
+
+    from cudapathtracer_tpu.models import procedural
+    from cudapathtracer_tpu.render.renderer import build_bvh_for_scene
+    from cudapathtracer_tpu import make_camera
+    from cudapathtracer_tpu.ops.rng import pixel_keys, sample_key
+    from cudapathtracer_tpu.render.camera import camera_rays
+
+    scene = procedural.to_scene(procedural.cornell_box())
+    accel = build_bvh_for_scene(scene, 4)
+    td = traversal.make_trace_data(scene, accel.fine)
+    cam = make_camera(width=8, height=8)
+    idx = jnp.arange(64, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(0), 0), idx)
+    o, d = camera_rays(cam, idx, keys)
+    T = scene.num_tris
+
+    @jax.jit
+    def f(o, d):
+        return traversal.trace(o, d, td, with_stats=True,
+                               num_tris_static=T)
+
+    hit, stats = f(o, d)
+    assert stats.tri_visits.shape == (T + 1,)
+    assert int(stats.steps) > 0
+    assert stats.ray_visits.shape == (64,)
+    assert int(stats.ray_visits.min()) > 0
