@@ -74,12 +74,19 @@ def test_cli_render_and_heatmap(tmp_path):
     assert "Mrays/s" in r.stderr
 
     csv = str(tmp_path / "out.csv")
+    fc = str(tmp_path / "bvh.png")
     r2 = _run_cli(["heatmap", "--scene", "cornell", "--size", "16",
-                   "-o", csv])
+                   "-o", csv, "--falsecolor", fc])
     assert r2.returncode == 0, r2.stderr[-2000:]
     lines = open(csv).read().strip().splitlines()
     assert len(lines) == 36  # cornell tri count
     assert all(line.endswith(",") for line in lines)
+    # the BVH falsecolor render (the 'sponza bvh.ppm' keeper capability)
+    from cudapathtracer_tpu.utils.png import read_png
+
+    img2 = read_png(fc)
+    assert img2.shape == (16, 16, 3)
+    assert img2.max() > 0
 
 
 def test_cli_checkpoint_resume(tmp_path):
