@@ -15,7 +15,7 @@ spp here is a measurement window, not a quality setting — throughput is
 flat across spp because every sample is the same program.
 
 Env knobs: BENCH_SPP (default 16), BENCH_SIZE (default 1024), BENCH_SUBDIV
-(colonnade sphere subdiv, default 3 => ~44k tris).
+(colonnade sphere subdiv, default 3 => 20,884 tris; 4 => ~82k).
 """
 
 import json
@@ -38,11 +38,13 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "16"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     subdiv = int(os.environ.get("BENCH_SUBDIV", "3"))
+    sbatch = int(os.environ.get("BENCH_SBATCH", "4"))
 
     desc = procedural.colonnade(subdiv=subdiv)
     scene = procedural.to_scene(desc)
     cfg = RenderConfig(width=size, height=size, spp=spp,
                        integrator="pt_nee", samples_per_call=spp,
+                       sample_batch=sbatch,
                        reuse_primary_hit=True)  # pinhole camera, no jitter
     t0 = time.time()
     bvh = build_bvh_for_scene(scene, cfg.leaf_size,

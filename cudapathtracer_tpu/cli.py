@@ -115,7 +115,8 @@ def cmd_render(args):
           f"light area {float(scene.total_light_area):.4f}", file=sys.stderr)
 
     t0 = time.time()
-    bvh = build_bvh_for_scene(scene, cfg.leaf_size) \
+    bvh = build_bvh_for_scene(scene, cfg.leaf_size,
+                              cluster_size=cfg.cluster_size) \
         if cfg.traversal in ("bvh", "packets") else None
     if bvh is not None:
         from .accel.bvh import as_fine

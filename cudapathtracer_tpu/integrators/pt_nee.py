@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rng import Sites, uniform_site
+from ..ops.traversal import Hit
 from ..ops.sampling import (
     cosine_hemisphere,
     sample_triangle_point,
@@ -90,7 +91,23 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
         active = remaining > 0
 
         if hit is None:
-            hit = trace_fn(o, d, active)
+            # dead-path compaction: a lane whose weight is already all-zero
+            # (miss, near-hit, emission stop) can never contribute again —
+            # mask it out of the trace (after the packet sort, dead lanes
+            # compact into all-masked tiles that cost nothing). Everything
+            # downstream still uses `active`, so the carry evolves exactly
+            # as before and the accumulated image is bit-identical.
+            alive = active & (
+                (weight.x != 0.0) | (weight.y != 0.0) | (weight.z != 0.0)
+            )
+            hit = trace_fn(o, d, alive)
+        # Barrier: keep the radiance arithmetic below from fusing INTO the
+        # trace subgraph. Without it XLA's fusion (and thus FMA contraction)
+        # of the shading math varies with the surrounding trace engine /
+        # shard shape, producing ULP-level image differences between
+        # engines and between sharded and single-chip renders — the
+        # bit-identity contracts tested in test_render/test_parallel.
+        hit = Hit(*jax.lax.optimization_barrier((hit.tri, hit.t)))
         t = hit.t - EPS_HIT                       # kernel.cu:431
         near = t < EPS_HIT                        # kernel.cu:432-435
         missed = t > MAX_FLOAT - 1.0              # kernel.cu:436-441

@@ -117,7 +117,15 @@ def make_scene(
     areas = 0.5 * np.linalg.norm(
         np.cross(v1[lights] - v0[lights], v2[lights] - v0[lights]), axis=1
     )
-    total_light_area = np.float32(areas.sum())
+    # typed accumulation at the host boundary: the reference types this
+    # exact quantity (`siArea totalLightArea`, kernel.cu:422) and reads
+    # .raw at the device boundary (kernel.cu:468) — same contract here
+    # (utils/si.py; SURVEY.md §7 SI-units ledger entry)
+    from ..utils.si import check_area, si_area
+
+    total_light_area = np.float32(
+        check_area(si_area(float(areas.sum())))
+    )
 
     if spheres is None:
         sc = np.zeros((0, 3), np.float32)
@@ -168,7 +176,10 @@ def register_host_geometry(scene: "Scene", verts, tri_indices):
             scene.verts.x, lambda k=key: _HOST_GEOMETRY.pop(k, None)
         )
     except TypeError:
-        pass
+        # can't track the array's lifetime -> don't cache at all: a stale
+        # entry at a recycled id() would hand a LATER scene the wrong
+        # geometry (the device-readback fallback is slow but safe)
+        _HOST_GEOMETRY.pop(key, None)
 
 
 def host_geometry(scene: "Scene"):

@@ -455,7 +455,10 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
     t_flat = jnp.where(mask, t_flat, MAX_FLOAT)
     tri_flat = jnp.where(mask, tri_flat, -1)
     u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
-    need_fb = mask & (t_flat > u_ray)
+    # >= (not >): when the best hit t EQUALS a dropped cluster's conservative
+    # entry, an equal-t triangle with a lower index could live in that
+    # cluster, and the lower-index tie-break contract requires checking it
+    need_fb = mask & (t_flat >= u_ray)
 
     if need_out:
         return Hit(tri=tri_flat, t=t_flat), need_fb

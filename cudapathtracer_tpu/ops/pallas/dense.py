@@ -256,7 +256,9 @@ def _kernel(meta_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
             exhausted = nxt >= cnt
             next_entry = slent[g, jnp.minimum(nxt, W - 1)]
             t_max = jnp.max(t_best)
-            done = exhausted | (t_max <= next_entry)
+            # strict <: at t_max == next_entry an equal-t lower-index
+            # triangle could still live in the next cluster (tie-break)
+            done = exhausted | (t_max < next_entry)
             return nxt, done, t_best, id_best
 
         init = (

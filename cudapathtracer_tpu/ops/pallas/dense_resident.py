@@ -186,7 +186,9 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 exhausted = nxt >= cnt
                 next_entry = slent[g, jnp.minimum(nxt, W - 1)]
                 t_max = jnp.max(t_best)
-                return (nxt, exhausted | (t_max <= next_entry),
+                # strict <: equal-t lower-index triangles in the next
+                # cluster must still be considered (tie-break contract)
+                return (nxt, exhausted | (t_max < next_entry),
                         t_best, id_best)
             return body
 

@@ -14,8 +14,8 @@ match statistics, not streams).
 Keying on the *pixel index* (not the array position) is what makes the
 multi-chip path exact: a chip rendering the tile idx[a:b] draws the same
 uniforms for pixel i as a single chip rendering the whole image — so a
-shard_map render is bit-identical to the unsharded one (tested in
-tests/test_parallel.py).
+shard_map render draws the identical random sequences as the unsharded
+one (tested in tests/test_parallel.py; images agree to XLA-fusion ULPs).
 
 A "site" is a static integer identifying a draw location in the integrator
 (e.g. LENS_U1, BSDF_CHOICE at bounce b); sites are enumerated in ``Sites``

@@ -9,7 +9,8 @@ NCCL/MPI, single GPU). Strategy:
   Morton index array and accumulation state sharded on the ``tiles`` axis.
   No collectives at all in the forward pass; each chip owns its tile of
   the running mean. Because RNG is keyed on pixel index (ops/rng.py), the
-  sharded render is bit-identical to single-chip (tested).
+  sharded render equals single-chip to XLA-fusion ULPs (tested; the
+  paths are identical, only shape-dependent FMA contraction differs).
 
 * **Gradient pass**: each chip differentiates the loss restricted to its
   tile, then scene-parameter cotangents are summed across chips with

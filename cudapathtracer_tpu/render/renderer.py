@@ -175,7 +175,8 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
     ``idx``: Morton pixel indices this call covers (default: whole image).
     The multi-chip path (parallel/shard.py) passes each chip its own tile
     of indices; because the RNG is keyed on (sample, pixel-index) and not
-    on array position, a sharded render is bit-identical to single-chip.
+    on array position, a sharded render draws identical randoms and
+    matches single-chip to XLA-fusion ULPs (tests/test_parallel.py).
     """
     trace_fn, _ = make_trace_fn(scene, cfg, bvh)
     if idx is None:
@@ -183,6 +184,16 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
 
     primary = None
     if cfg.reuse_primary_hit and not cfg.jitter:
+        # reuse is only sound for a pinhole camera: with radius > 0 the lens
+        # randoms vary per sample and a cached primary hit is stale. radius
+        # is a tracer under jit (render_batch_jit checks concretely before
+        # entering); assert here for direct concrete-value callers.
+        try:
+            assert float(cam.radius) == 0.0, (
+                "cfg.reuse_primary_hit requires a pinhole camera (radius=0)"
+            )
+        except jax.errors.ConcretizationTypeError:
+            pass  # under jit; render_batch_jit checked concretely already
         # pinhole + no jitter: every sample's primary rays are identical
         # (cfg.reuse_primary_hit is only set when the camera radius is 0),
         # so the first trace of the bounce loop is batch-invariant
@@ -190,20 +201,66 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
         o0, d0 = camera_rays(cam, idx, keys0, jitter=False)
         primary = trace_fn(o0, d0, jnp.ones(idx.shape, bool))
 
-    def one_sample(i, st: AccumState) -> AccumState:
-        keys = pixel_keys(sample_key(base_key, st.n), idx)
-        o, d = camera_rays(cam, idx, keys, jitter=cfg.jitter)
-        sample = _radiance(o, d, scene, trace_fn, keys, cfg,
-                           primary_hit=primary)
-        return _accum_update(st, sample, cfg.compensated_accum)
+    R = idx.shape[0]
 
-    return jax.lax.fori_loop(0, num_samples, one_sample, state)
+    def group_of(st: AccumState, S: int) -> AccumState:
+        """Render S samples whose bounce rays trace as ONE (S*R,) batch.
+
+        Radiance per sample is bit-identical to sequential rendering (RNG
+        keys on the absolute sample index) and the accumulation applies the
+        S per-sample updates in order, so the final image is bit-identical
+        to S=1 for ANY grouping — which keeps checkpoint resume exact. The
+        win is in the trace: S x the rays per sort window pack into denser,
+        tighter packet tiles (see cfg.sample_batch).
+        """
+        keys = [pixel_keys(sample_key(base_key, st.n + i), idx)
+                for i in range(S)]
+        keys_b = jnp.concatenate(keys) if S > 1 else keys[0]
+        idx_b = jnp.tile(idx, S) if S > 1 else idx
+        o, d = camera_rays(cam, idx_b, keys_b, jitter=cfg.jitter)
+        prim = primary
+        if prim is not None and S > 1:
+            prim = jax.tree_util.tree_map(
+                lambda a: jnp.tile(a, S), primary
+            )
+        sample = _radiance(o, d, scene, trace_fn, keys_b, cfg,
+                           primary_hit=prim)
+        for i in range(S):
+            sl = Vec3(sample.x[i * R:(i + 1) * R],
+                      sample.y[i * R:(i + 1) * R],
+                      sample.z[i * R:(i + 1) * R]) if S > 1 else sample
+            st = _accum_update(st, sl, cfg.compensated_accum)
+        return st
+
+    S = max(1, int(cfg.sample_batch))
+    state = jax.lax.fori_loop(
+        0, num_samples // S, lambda g, st: group_of(st, S), state
+    )
+    if num_samples % S:
+        state = jax.lax.fori_loop(
+            0, num_samples % S, lambda i, st: group_of(st, 1), state
+        )
+    return state
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_samples"), donate_argnums=(5,))
+def _render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
+                      num_samples: int) -> AccumState:
+    return render_batch(scene, bvh, cam, cfg, base_key, state, num_samples)
+
+
 def render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
                      num_samples: int) -> AccumState:
-    return render_batch(scene, bvh, cam, cfg, base_key, state, num_samples)
+    """Jitted render_batch. The pinhole precondition of reuse_primary_hit is
+    checked HERE, where cam.radius is still concrete (inside jit it is a
+    tracer and the stale-hit bias would be silent)."""
+    if cfg.reuse_primary_hit and not cfg.jitter:
+        assert float(cam.radius) == 0.0, (
+            "cfg.reuse_primary_hit requires a pinhole camera (radius=0): "
+            "lens samples vary per sample, a cached primary hit is stale"
+        )
+    return _render_batch_jit(scene, bvh, cam, cfg, base_key, state,
+                             num_samples)
 
 
 def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,

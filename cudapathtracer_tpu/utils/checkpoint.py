@@ -6,7 +6,7 @@ loop state (SURVEY.md §5.4; kernel.cu:552). We persist exactly that
 contract: (accumulator, compensation, sample count, base seed) — RNG keys
 are derived, not stored, because every draw is a pure function of
 (seed, sample index, pixel index, site), so resume reproduces the
-uninterrupted render bit-for-bit (tested in tests/test_checkpoint.py).
+uninterrupted render bit-for-bit (tested in tests/test_checkpoint_cli.py).
 
 Format: a single .npz (atomic rename on save) — deliberately dependency-
 free and inspectable. For sharded multi-host renders each process saves its

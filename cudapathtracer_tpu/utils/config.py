@@ -26,6 +26,16 @@ class RenderConfig:
     traversal: str = "packets"      # 'packets' | 'bvh' | 'brute'
     leaf_size: int = 4
     samples_per_call: int = 1       # progressive granularity (checkpoint unit)
+    sample_batch: int = 1           # samples whose BOUNCE RAYS are traced as
+    #                                 one jointly-sorted batch: S x the rays
+    #                                 per sort window => denser, tighter
+    #                                 packet tiles (fewer candidate clusters
+    #                                 per tile) and S-amortized fixed costs.
+    #                                 Radiance per sample and the accumulation
+    #                                 sequence are bit-identical to S=1 (the
+    #                                 RNG keys on absolute sample index and
+    #                                 updates stay sequential). Costs ~S x
+    #                                 transient HBM for the in-flight rays.
     # packet-traversal knobs (ops/packets.py)
     tile_size: int = 256            # rays per packet tile
     cluster_size: int | None = None  # triangles per scene cluster; None =

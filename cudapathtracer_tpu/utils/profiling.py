@@ -91,3 +91,64 @@ def profile_trace(logdir):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_health():
+    """Device-health snapshot — the getGPUTemp analogue (kernel.cu:555-563).
+
+    The reference polls NVML for GPU temperature and carries a (disabled)
+    pause-above-60°C loop (kernel.cu:725-732). TPUs expose NO temperature
+    API to user code — neither libtpu nor the axon tunnel surfaces thermal
+    sensors (throttling is managed by the platform) — so the health signal
+    here is what IS observable: device identity and live HBM usage via
+    jax's memory_stats(). Returns a dict; values are None where the
+    backend hides them.
+    """
+    import jax
+
+    dev = jax.devices()[0]
+    stats = None
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        pass
+    out = {
+        "device": str(dev),
+        "platform": dev.platform,
+        "temperature_c": None,  # not exposed on TPU (see docstring)
+        "hbm_bytes_in_use": None,
+        "hbm_bytes_limit": None,
+    }
+    if stats:
+        out["hbm_bytes_in_use"] = stats.get("bytes_in_use")
+        out["hbm_bytes_limit"] = stats.get("bytes_limit")
+    return out
+
+
+class HealthWatchdog:
+    """The reference's thermal-throttle loop shape (kernel.cu:725-732),
+    generalized and OFF by default — exactly like the reference, whose loop
+    is commented out. ``check`` pauses while ``should_pause(health)`` holds
+    (e.g. HBM pressure), polling every ``poll_s`` seconds."""
+
+    def __init__(self, should_pause=None, poll_s: float = 5.0,
+                 on_pause=None, max_wait_s: float = 300.0):
+        self.should_pause = should_pause  # None = disabled (reference dflt)
+        self.poll_s = poll_s
+        self.on_pause = on_pause or (lambda msg: print(msg))
+        self.max_wait_s = max_wait_s
+
+    def check(self):
+        if self.should_pause is None:
+            return False
+        waited = 0.0
+        paused = False
+        while self.should_pause(device_health()) and waited < self.max_wait_s:
+            if not paused:
+                self.on_pause("render paused: device health gate")
+                paused = True
+            time.sleep(self.poll_s)
+            waited += self.poll_s
+        if paused:
+            self.on_pause("render resumed")
+        return paused

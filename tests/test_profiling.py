@@ -39,3 +39,30 @@ def test_dump_visit_csv(tmp_path):
     # trailing comma per line — the reference's exact out.csv shape
     # (kernel.cu:746-749)
     assert lines == ["3,", "0,", "7,"]
+
+
+def test_device_health_snapshot():
+    from cudapathtracer_tpu.utils.profiling import device_health
+
+    h = device_health()
+    assert "device" in h and h["platform"] in ("cpu", "tpu", "axon")
+    # temperature is documented-unavailable on TPU; the key must exist so
+    # callers can rely on the schema (None = backend hides it)
+    assert "temperature_c" in h
+
+
+def test_health_watchdog_pauses_and_resumes():
+    from cudapathtracer_tpu.utils.profiling import HealthWatchdog
+
+    calls = {"n": 0}
+
+    def gate(health):
+        calls["n"] += 1
+        return calls["n"] <= 2  # pause for two polls, then clear
+
+    msgs = []
+    w = HealthWatchdog(should_pause=gate, poll_s=0.01, on_pause=msgs.append)
+    assert w.check() is True
+    assert msgs == ["render paused: device health gate", "render resumed"]
+    # disabled by default, like the reference's commented-out loop
+    assert HealthWatchdog().check() is False
