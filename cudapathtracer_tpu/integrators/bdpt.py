@@ -29,7 +29,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.rng import Sites, uniform_site
+from ..ops.rng import SiteGroups, uniform_sites
 from ..ops.sampling import (
     cosine_hemisphere,
     sample_triangle_point,
@@ -100,10 +100,13 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     inv_prob = [None] * PATH_SIZE
 
     # ---- light subpath vertex 0: point on a light (kernel.cu:230-267) ----
-    u_pick = uniform_site(keys, Sites.BDPT_LIGHT_PICK)
+    # all seven of the sample's draws in one batched derivation
+    # (ops/rng.uniform_sites: ~4x cheaper than per-site folding)
+    _us = uniform_sites(keys, SiteGroups.BDPT, 7)
+    u_pick = _us[0]
     slot = pick_light_slot(total_area * u_pick, areas)
-    lu = uniform_site(keys, Sites.BDPT_LIGHT_U)
-    lv = uniform_site(keys, Sites.BDPT_LIGHT_V)
+    lu = _us[1]
+    lv = _us[2]
     lv0, la1, la2, lnorm, _ltri, l_e = light_lookup(light_tab, slot,
                                                     with_emission=True)
     # offset by normal*0.001 (kernel.cu:261)
@@ -114,8 +117,8 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     inv_prob[0] = jnp.broadcast_to(total_area, (R,))
 
     # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
-    u1 = uniform_site(keys, Sites.BDPT_LIGHT_DIR_U1)
-    u2 = uniform_site(keys, Sites.BDPT_LIGHT_DIR_U2)
+    u1 = _us[3]
+    u2 = _us[4]
     o_dir = uniform_hemisphere(norm[0], u1, u2, params.orthonormal_frame)
     hit = trace_fn(x[0], o_dir, all_on)
     t = hit.t - EPS_HIT
@@ -151,8 +154,8 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     inv_prob[3] = jnp.ones((R,))
 
     # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
-    cu1 = uniform_site(keys, Sites.BDPT_CAM_BOUNCE_U1)
-    cu2 = uniform_site(keys, Sites.BDPT_CAM_BOUNCE_U2)
+    cu1 = _us[5]
+    cu2 = _us[6]
     d2dir = cosine_hemisphere(norm[3], cu1, cu2, params.orthonormal_frame)
     hit2 = trace_fn(x[3], d2dir, all_on)
     t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here

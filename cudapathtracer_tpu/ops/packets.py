@@ -248,6 +248,15 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         # exceeds the dropped-candidate bound carry into the next round,
         # where sorting compacts them into far fewer live tiles. The final
         # round runs the full shortlist (plus the fine-BVH fallback).
+        #
+        # DESIGN NOTE (round 2, measured): an incremental variant that
+        # sorts ONCE and re-runs unresolved rays in place (kernel resume
+        # from a carried (t, id) + per-live-lane re-cull) measured ~1.5x
+        # SLOWER than this re-sorting structure on the interior bench —
+        # the dense fold costs per TILE x SLOT regardless of how many
+        # lanes are live, so the per-round re-sort that COMPACTS the ~17%
+        # stragglers into ~2x fewer tiles buys more than the extra
+        # argsort chain costs. Keep rounds compacting.
         m_cur = mask if mask is not None else jnp.ones((o.x.shape[0],), bool)
         acc_t = jnp.full((o.x.shape[0],), MAX_FLOAT, jnp.float32)
         acc_tri = jnp.full((o.x.shape[0],), -1, jnp.int32)
@@ -385,6 +394,13 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             resident_fits,
         )
 
+        # NOTE (measured, round 2): capping the early-exit criterion with
+        # each ray's scene-box EXIT distance (so miss rays stop holding
+        # tiles open) was tried and REVERTED: the extra (P,1) min per
+        # while-iteration cost ~15-20% on every trace while interior
+        # workloads (where misses exit near the room bounds anyway)
+        # gained nothing. Revisit only for open scenes with real sky
+        # misses, and put the cap behind a static flag if so.
         rays = jnp.stack(
             [ox, oy, oz, dx, dy, dz, mrow, jnp.zeros_like(ox)], axis=1
         )  # (Tl, 8, P): rays + lane mask (masked lanes must not block the

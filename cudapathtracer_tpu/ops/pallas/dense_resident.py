@@ -162,6 +162,8 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
         dy = tile[:, 4:5]
         dz = tile[:, 5:6]
         lane_on = tile[:, 6:7] > 0.5
+        t_init = jnp.where(lane_on, MAX_FLOAT, _MASKED_T_INIT)
+        id_init = jnp.full((P, 1), -1, jnp.int32)
 
         def cond(carry):
             s, done, t_best, id_best = carry
@@ -194,12 +196,11 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
 
         body = make_body(_UNROLL)
 
-        init = (
-            jnp.int32(0),
-            cnt == 0,
-            jnp.where(lane_on, MAX_FLOAT, _MASKED_T_INIT),
-            jnp.full((P, 1), -1, jnp.int32),
-        )
+        # all-dead tiles (every lane masked: t_init all -3e38, i.e. < 0)
+        # skip the loop entirely — common in late straggler rounds where
+        # resolved rays compact into fully masked tiles
+        init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
+                t_init, id_init)
         _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
 
         out = jnp.concatenate(
@@ -218,7 +219,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
-    rays:      (Tl, 8, P) f32 — rows o.xyz / d.xyz / lane-mask / pad
+    rays:      (Tl, 8, P) f32 — rows o.xyz / d.xyz / lane-mask / exit-cap
                (lane-dim P: an unpadded HBM layout — see the kernel note)
     cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!)
 
@@ -239,6 +240,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
         [entries.astype(jnp.float32),
          jnp.full((Tl, W - M), jnp.inf, jnp.float32)], axis=1)
 
+    NR = rays.shape[1]
     Tp = -(-Tl // G) * G
     if Tp != Tl:
         slid = jnp.concatenate(
@@ -246,13 +248,13 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
         slent = jnp.concatenate(
             [slent, jnp.full((Tp - Tl, W), jnp.inf, jnp.float32)], axis=0)
         rays = jnp.concatenate(
-            [rays, jnp.zeros((Tp - Tl, 8, P), rays.dtype)], axis=0)
+            [rays, jnp.zeros((Tp - Tl, NR, P), rays.dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec((G, 8, P), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, NR, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident scene
             pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist ids

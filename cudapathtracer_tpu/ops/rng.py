@@ -61,6 +61,36 @@ def uniform_site(keys, site: int, bounce=None, dtype=jnp.float32):
     return 1.0 - jax.vmap(one)(keys)
 
 
+def uniform_sites(keys, group: int, n: int, bounce=0, dtype=jnp.float32):
+    """n independent (0, 1] uniforms per key, batched: ONE fold + counter-
+    mode generation instead of the 3 threefry passes uniform_site pays per
+    draw (measured ~4x cheaper for an integrator bounce's 6-8 draws at 1M
+    rays). Returns (n, R).
+
+    ``group`` identifies the draw-site GROUP (SiteGroups); the row index
+    within the group identifies the draw. bounce is folded into the same
+    word (group * 1024 + bounce), so groups must be spaced accordingly.
+    Statistically equivalent to per-site derivation — both are threefry
+    counter streams — but the VALUES differ from uniform_site's; the two
+    schemes must not be mixed for the same logical draw.
+    """
+
+    def one(k):
+        kk = jax.random.fold_in(k, group * 1024 + bounce)
+        return jax.random.uniform(kk, (n,), dtype)
+
+    return 1.0 - jax.vmap(one)(keys).T
+
+
+class SiteGroups:
+    """Group ids for uniform_sites (spaced by the 1024-bounce packing)."""
+
+    PT_BOUNCE = 1      # rows: choice, bsdf_u1, bsdf_u2, pick, light_u, light_v
+    BDPT = 2           # rows: pick, light_u, light_v, dir_u1, dir_u2,
+    #                    cam_u1, cam_u2
+    CAMERA = 3         # rows: lens_u1, lens_u2, jitter_x, jitter_y
+
+
 # Draw-site ids (arbitrary distinct constants, kept in one place so no two
 # sites collide).
 class Sites:

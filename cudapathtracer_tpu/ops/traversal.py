@@ -102,7 +102,10 @@ class Hit(NamedTuple):
     t: jnp.ndarray    # (R,) f32, MAX_FLOAT = miss (reference sentinel)
 
 
-_TRI_SENTINEL = jnp.int32(0x7FFFFFFF)
+# plain int (not jnp.int32): a module-level jnp constant would
+# initialize the XLA backend at import, which breaks
+# jax.distributed.initialize in multi-process programs
+_TRI_SENTINEL = 0x7FFFFFFF
 
 
 def _closest_update(ts, tri_ids, t_best, tri_best):

@@ -51,8 +51,8 @@ def _tile_pspec(tree):
 
 
 def render_sharded(scene, bvh, cam, cfg: RenderConfig, base_key,
-                   state: AccumState, num_samples: int, mesh: Mesh
-                   ) -> AccumState:
+                   state: AccumState, num_samples: int, mesh: Mesh,
+                   idx=None) -> AccumState:
     """Progressive render with pixel tiles sharded over the mesh.
 
     ``state`` components are (R,) arrays laid out Morton-contiguously, so
@@ -60,10 +60,16 @@ def render_sharded(scene, bvh, cam, cfg: RenderConfig, base_key,
     spatially compact tile (good traversal coherence within each chip's
     vector batches). cfg is static (closed over); only arrays cross the
     shard_map boundary.
+
+    ``idx``: optional prebuilt Morton index array — multi-PROCESS callers
+    must pass a global jax.Array sharded on the tile axis (a process-local
+    jnp.arange is not addressable across hosts); single-process callers
+    can leave it None.
     """
     n_dev = mesh.devices.size
     assert cfg.num_pixels % n_dev == 0, (cfg.num_pixels, n_dev)
-    idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    if idx is None:
+        idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
     rep = P()
     til = P(TILE_AXIS)

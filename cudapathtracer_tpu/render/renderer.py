@@ -198,7 +198,7 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
         # (cfg.reuse_primary_hit is only set when the camera radius is 0),
         # so the first trace of the bounce loop is batch-invariant
         keys0 = pixel_keys(sample_key(base_key, state.n), idx)
-        o0, d0 = camera_rays(cam, idx, keys0, jitter=False)
+        o0, d0 = camera_rays(cam, idx, keys0, jitter=False, lens=False)
         primary = trace_fn(o0, d0, jnp.ones(idx.shape, bool))
 
     R = idx.shape[0]
@@ -217,7 +217,11 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
                 for i in range(S)]
         keys_b = jnp.concatenate(keys) if S > 1 else keys[0]
         idx_b = jnp.tile(idx, S) if S > 1 else idx
-        o, d = camera_rays(cam, idx_b, keys_b, jitter=cfg.jitter)
+        # reuse_primary_hit certifies radius == 0 (asserted at the jit
+        # boundary): skip the lens draws, and with jitter off the rays
+        # don't depend on keys at all, so XLA hoists them out of the loop
+        o, d = camera_rays(cam, idx_b, keys_b, jitter=cfg.jitter,
+                           lens=not cfg.reuse_primary_hit)
         prim = primary
         if prim is not None and S > 1:
             prim = jax.tree_util.tree_map(

@@ -1,0 +1,89 @@
+"""Worker for the two-process jax.distributed test (test_distributed.py).
+
+Each process owns 4 virtual CPU devices (XLA_FLAGS set by the parent);
+after ``initialize_distributed`` the global mesh spans 8 devices across
+the 2 processes. The worker renders the cornell scene sharded over the
+global mesh, then each process checks its OWN addressable shards against
+a locally-computed single-device reference (the cross-process contract:
+RNG keys on pixel index, so every tile's pixels match the full render).
+
+Usage: python distributed_worker.py <coordinator> <num_procs> <process_id>
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from cudapathtracer_tpu.parallel.mesh import (
+        TILE_AXIS,
+        initialize_distributed,
+        make_tile_mesh,
+    )
+
+    initialize_distributed(coordinator=coord, num_processes=nproc,
+                           process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4, jax.local_device_count()
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cudapathtracer_tpu import RenderConfig, init_accum, make_camera, render
+    from cudapathtracer_tpu.models import procedural
+    from cudapathtracer_tpu.parallel.shard import render_sharded
+    from cudapathtracer_tpu.render.renderer import build_bvh_for_scene
+
+    scene = procedural.to_scene(procedural.cornell_box())
+    cam = make_camera(width=16, height=16)
+    bvh = build_bvh_for_scene(scene, 4)
+    cfg = RenderConfig(width=16, height=16, spp=2, integrator="pt_nee",
+                       samples_per_call=2)
+
+    mesh = make_tile_mesh()
+    rep = NamedSharding(mesh, P())
+    til = NamedSharding(mesh, P(TILE_AXIS))
+
+    def put(tree, sharding_for):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding_for(x)), tree
+        )
+
+    # every process holds the identical full values; device_put slices the
+    # addressable shards locally and assembles a global jax.Array
+    scene_g = put(scene, lambda x: rep)
+    bvh_g = put(bvh, lambda x: rep)
+    cam_g = put(cam, lambda x: rep)
+    state_g = put(init_accum(cfg),
+                  lambda x: til if jnp.ndim(x) >= 1 else rep)
+    idx_g = jax.device_put(
+        jnp.arange(cfg.num_pixels, dtype=jnp.uint32), til)
+    key_g = jax.device_put(jax.random.PRNGKey(4), rep)
+
+    st = render_sharded(scene_g, bvh_g, cam_g, cfg, key_g, state_g, 2,
+                        mesh, idx=idx_g)
+
+    # local single-device reference (full image; identical on both procs)
+    ref = render(scene, cam, cfg, seed=4)
+    ref_x = np.asarray(ref.img.x)
+
+    checked = 0
+    for s in st.img.x.addressable_shards:
+        got = np.asarray(s.data).reshape(-1)
+        want = ref_x[s.index[0]]
+        np.testing.assert_allclose(got, want, rtol=3e-6, atol=1e-7)
+        checked += got.size
+    assert checked == cfg.num_pixels // nproc, checked
+    print(f"OK process {pid}: {checked} pixels verified", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,3 +61,15 @@ def test_golden_analytic_sphere():
                        samples_per_call=8)
     st = cpt.render(scene, cam, cfg, seed=1234)
     _check(st, cfg, "cornell_sphere_pt_nee_32_spp8.ppm")
+
+
+def test_golden_cornell_pt_nee_128():
+    """Tighter drift alarm: 128^2 averages ~16x more paths per image than
+    the 64^2 golden, so integrator-level drift that hides inside MC noise
+    at 64^2 shows up here."""
+    scene = procedural.to_scene(procedural.cornell_box())
+    cam = make_camera(width=128, height=128)
+    cfg = RenderConfig(width=128, height=128, spp=8, integrator="pt_nee",
+                       samples_per_call=8)
+    st = cpt.render(scene, cam, cfg, seed=1234)
+    _check(st, cfg, "cornell_pt_nee_128_spp8.ppm")

@@ -42,7 +42,7 @@ def test_recover_wall_albedo():
     vg = jax.jit(jax.value_and_grad(loss_fn))
 
     losses = []
-    for _ in range(25):
+    for _ in range(40):
         loss, g = vg(p, target)
         losses.append(float(loss))
         # only optimize the albedo (keep geometry fixed: this test is about
