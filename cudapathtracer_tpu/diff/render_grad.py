@@ -14,14 +14,17 @@ light-pick areas/pdfs, geometric factors — is plain JAX math, so reverse
 mode delivers d(pixel)/d(verts, albedo, emission) through the *continuous*
 part of the estimator exactly.
 
-Visibility discontinuities (silhouette motion) are covered by the PRIMARY
-boundary term when ``edge_samples > 0``: diff/edge_sampling.py samples
-points on camera-silhouette mesh edges and adds a value-zero image whose
-cotangents carry (L- − L+) times the image-space edge velocity (Li et al.
-2018 edge sampling). With the default 0 the estimator is interior-only.
-Secondary (shadow/indirect) silhouettes remain future work; both modes are
-validated against finite differences (tests/test_diff.py,
-tests/test_edge_sampling.py).
+Visibility discontinuities (silhouette motion) are covered by two
+boundary terms: ``edge_samples > 0`` adds the PRIMARY term
+(camera-silhouette edges, Li et al. 2018 edge sampling) and
+``shadow_edge_samples > 0`` adds the SECONDARY term for the NEE direct
+shadow (occluder silhouettes projected onto the light plane,
+diff/edge_sampling.shadow_boundary_image). Both add value-zero images
+whose cotangents carry the (L- − L+) x boundary-velocity line integrals,
+so the primal is untouched. With the defaults (0) the estimator is
+interior-only. Deeper-bounce indirect silhouettes remain
+interior-estimated. All modes are validated against finite differences
+(tests/test_diff.py, tests/test_edge_sampling.py).
 
 RNG note: gradients are taken with the SAME sample keys as the primal
 render (common random numbers), so d(loss)/d(param) finite-difference
@@ -82,7 +85,8 @@ def make_diff_trace_fn(scene: Scene, base_trace_fn):
 
 def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
                       spp: int, bvh=None, trace_data=None, idx=None,
-                      edge_samples: int = 0, edge_table=None) -> Vec3:
+                      edge_samples: int = 0, edge_table=None,
+                      shadow_edge_samples: int = 0) -> Vec3:
     """Differentiable expected-radiance image (Morton order, (R,) Vec3).
 
     Renders ``spp`` samples under ``lax.scan`` with per-sample
@@ -170,6 +174,31 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
             scene, cam, edge_table, boundary_radiance,
             jax.random.fold_in(base_key, 0xED6E),
             edge_samples, cfg.num_pixels,
+        )
+
+    if shadow_edge_samples > 0:
+        assert edge_table is not None, (
+            "shadow_edge_samples > 0 needs a prebuilt EdgeTable"
+        )
+        assert cfg.integrator == "pt_nee", (
+            "the shadow boundary term models the PT+NEE direct term"
+        )
+        from ..ops.shading import make_shade_table, tri_shading
+        from .edge_sampling import shadow_boundary_image
+
+        stab = make_shade_table(scene)
+
+        def shade_normal_fn(tri):
+            n, alb, _emi, _m = tri_shading(stab, tri)
+            return (Vec3(*(jax.lax.stop_gradient(c) for c in n)),
+                    Vec3(*(jax.lax.stop_gradient(c) for c in alb)))
+
+        img = img + shadow_boundary_image(
+            scene, cam, edge_table, base_trace, shade_normal_fn,
+            jax.random.fold_in(base_key, 0x5AD0),
+            shadow_edge_samples, cfg.num_pixels,
+            branch_factor=1.0 if cfg.branch_pdf_correction else 0.5,
+            light_normal_mode=cfg.light_normal_mode,
         )
     return img
 

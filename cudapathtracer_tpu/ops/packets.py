@@ -394,17 +394,31 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             resident_fits,
         )
 
-        # NOTE (measured, round 2): capping the early-exit criterion with
-        # each ray's scene-box EXIT distance (so miss rays stop holding
-        # tiles open) was tried and REVERTED: the extra (P,1) min per
-        # while-iteration cost ~15-20% on every trace while interior
-        # workloads (where misses exit near the room bounds anyway)
-        # gained nothing. Revisit only for open scenes with real sky
-        # misses, and put the cap behind a static flag if so.
+        # Row 7: per-ray search CAP = scene-box exit distance (+ margin).
+        # The kernels use it as the closest-fold INIT, so a ray that
+        # misses everything stops holding its tile's early exit open once
+        # candidates pass its exit point — at zero per-iteration cost
+        # (capping the exit CRITERION instead cost ~15-20%/trace; a cap
+        # on the init is free). No real hit can exceed the cap: all
+        # geometry lies inside the scene box, so any hit t <= exit < cap.
+        # Unfound rays return t == cap with tri == -1; _finish restores
+        # the MAX_FLOAT miss sentinel from tri < 0.
+        def axis_exit(o_, d_, l_, h_):
+            ds = jnp.where(jnp.abs(d_) < 1e-30,
+                           jnp.where(d_ < 0, -1e-30, 1e-30), d_)
+            return jnp.maximum((l_ - o_) / ds, (h_ - o_) / ds)
+
+        slo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
+        shi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
+        t_cap = jnp.maximum(0.0, jnp.minimum(
+            jnp.minimum(axis_exit(ox, dx, slo.x, shi.x),
+                        axis_exit(oy, dy, slo.y, shi.y)),
+            axis_exit(oz, dz, slo.z, shi.z))) * 1.0001 + 1e-4
+
         rays = jnp.stack(
-            [ox, oy, oz, dx, dy, dz, mrow, jnp.zeros_like(ox)], axis=1
+            [ox, oy, oz, dx, dy, dz, mrow, t_cap], axis=1
         )  # (Tl, 8, P): rays + lane mask (masked lanes must not block the
-        #    kernel's early exit); lane-dim P keeps the array unpadded
+        #    kernel's early exit) + search cap; lane-dim P keeps it unpadded
         if C % 128 == 0 and resident_fits(K, C):
             # whole scene pinned in VMEM: every slot is pure VPU work
             t_best, tri_best = dense_intersect_resident(
@@ -470,6 +484,9 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
     tri_flat = tri_best.reshape(-1)[:R]
     t_flat = jnp.where(mask, t_flat, MAX_FLOAT)
     tri_flat = jnp.where(mask, tri_flat, -1)
+    # rays whose fold never beat the search-cap init carry t == cap with
+    # tri == -1: restore the canonical miss sentinel
+    t_flat = jnp.where(tri_flat < 0, MAX_FLOAT, t_flat)
     u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
     # >= (not >): when the best hit t EQUALS a dropped cluster's conservative
     # entry, an equal-t triangle with a lower index could live in that

@@ -265,8 +265,10 @@ def _kernel(meta_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
             jnp.int32(0),
             cnt == 0,
             # masked lanes start below any real t: they never update and
-            # never hold the early exit open
-            jnp.where(lane_on, MAX_FLOAT, _MASKED_T_INIT),
+            # never hold the early exit open; live lanes start at their
+            # search cap (row 7: scene-exit distance, see ops/packets.py)
+            jnp.where(lane_on, jnp.minimum(MAX_FLOAT, tile[7:8, :]),
+                      _MASKED_T_INIT),
             jnp.full((1, P), -1, jnp.int32),
         )
         s_end, _, t_best, id_best = jax.lax.while_loop(cond, body, init)

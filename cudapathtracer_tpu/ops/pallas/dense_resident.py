@@ -162,7 +162,12 @@ def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
         dy = tile[:, 4:5]
         dz = tile[:, 5:6]
         lane_on = tile[:, 6:7] > 0.5
-        t_init = jnp.where(lane_on, MAX_FLOAT, _MASKED_T_INIT)
+        # row 7: per-ray search cap (scene-exit distance, ops/packets.py)
+        # as the fold INIT — miss rays stop the early exit at their exit
+        # point instead of holding MAX_FLOAT open for the whole shortlist
+        t_init = jnp.where(lane_on,
+                           jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
+                           _MASKED_T_INIT)
         id_init = jnp.full((P, 1), -1, jnp.int32)
 
         def cond(carry):

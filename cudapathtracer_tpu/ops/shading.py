@@ -162,14 +162,39 @@ def pick_light_slot(rand_area, areas):
     """The reference's light-pick scan (kernel.cu:231-244) returning the
     LIGHT SLOT (index into the light table) instead of a scene-triangle id;
     no match -> slot L (the fallback row). Semantics identical to
-    sampling.pick_light."""
+    sampling.pick_light.
+
+    Two implementations with IDENTICAL results (tested):
+
+    * L <= 64: the (R, L) broadcast form of the scan — fuses well and is
+      cheapest for the common few-lights scene.
+    * L > 64: binary search over the cumulative-area table — O(R log L)
+      instead of the O(R*L) broadcast, which at sponza-class light counts
+      (hundreds of emissive tris) is a memory cliff at R=1M. Pathwise
+      equal to the scan INCLUDING the boundary cases: the scan matches
+      bin j iff prev_cum[j] < x < cum[j] strictly, so x exactly on a bin
+      boundary (or <= 0, or >= total) falls through to slot L — exactly
+      what the searchsorted(side='left') + strict-bounds check yields.
+    """
     L = areas.shape[0]
     if L == 0:
         return jnp.full(rand_area.shape, 0, jnp.int32)  # only row: fallback
     cum = jnp.cumsum(areas)
-    prev_cum = cum - areas
-    rem = rand_area[:, None] - prev_cum[None, :]
-    match = (rem > 0.0) & (rem < areas[None, :])
-    any_match = jnp.any(match, axis=1)
-    j = jnp.argmax(match, axis=1).astype(jnp.int32)
-    return jnp.where(any_match, j, L)
+    if L <= 64:
+        prev_cum = cum - areas
+        rem = rand_area[:, None] - prev_cum[None, :]
+        match = (rem > 0.0) & (rem < areas[None, :])
+        any_match = jnp.any(match, axis=1)
+        j = jnp.argmax(match, axis=1).astype(jnp.int32)
+        return jnp.where(any_match, j, L)
+
+    j = jnp.searchsorted(cum, rand_area, side="left").astype(jnp.int32)
+    jc = jnp.clip(j, 0, L - 1)
+    area_j = jnp.take(areas, jc, mode="clip")
+    prev_j = jnp.take(cum, jc, mode="clip") - area_j
+    # the exact comparisons of the broadcast scan row jc (same f32
+    # rounding: rem = x - prev, strict bounds) so both paths agree
+    # bitwise except within one-ULP bin-boundary windows
+    rem = rand_area - prev_j
+    matched = (rem > 0.0) & (rem < area_j)
+    return jnp.where(matched, jc, L)

@@ -126,3 +126,103 @@ def test_silhouette_gradient_matches_fd():
     assert abs(g_edge - fd) <= 0.35 * abs(fd) + 5e-3, (
         f"fd={fd} edge={g_edge}"
     )
+
+
+def shadow_scene():
+    """Floor + small down-facing area light + a floating occluder whose
+    shadow lands where the camera looks. Moving the occluder in x moves
+    the shadow — a pure SECONDARY (NEE) visibility discontinuity: the
+    occluder is out of frame, so primary edge sampling can't see it and
+    the interior gradient misses it entirely. The light is deliberately
+    SMALL (solid angle ~0.02 sr from the floor) so the one un-modeled
+    visibility term — the BRDF-branch cosine ray hitting the light
+    directly, also occluder-dependent — is negligible next to the NEE
+    term the shadow boundary estimator models."""
+    verts = []
+    tris = []
+    mats = []
+
+    def quad(a, b, c, d, m):
+        base = len(verts)
+        verts.extend([a, b, c, d])
+        tris.extend([(base, base + 1, base + 2), (base, base + 2, base + 3)])
+        mats.extend([m, m])
+
+    # floor y=0 (normal +y), white
+    quad((-2, 0, -2), (-2, 0, 2), (2, 0, 2), (2, 0, -2), 0)
+    # small light at y=2 over z=1 (the camera at (0, 0.8, 3) looking down
+    # -z sees the floor around z ~ 0.5-1.5); emission scaled to keep the
+    # same direct illumination as a 0.4-half-size light
+    s = 0.15
+    quad((-s, 2.0, 1 + s), (s, 2.0, 1 + s), (s, 2.0, 1 - s),
+         (-s, 2.0, 1 - s), 1)
+    # occluder: small quad at y=1 under the light; its shadow lands on
+    # the visible floor patch around z ~ 1
+    oc = 0.3
+    base_ids = len(verts)
+    quad((-oc, 1.0, 1 + oc), (-oc, 1.0, 1 - oc), (oc, 1.0, 1 - oc),
+         (oc, 1.0, 1 + oc), 0)
+    occ_ids = list(range(base_ids, base_ids + 4))
+
+    albedo = np.array([[0.7, 0.7, 0.7], [0.6, 0.6, 0.6]], np.float32)
+    emission = np.array([[0, 0, 0], [114.0, 114.0, 114.0]], np.float32)
+    scene = make_scene(np.array(verts, np.float32),
+                       np.array(tris, np.int32),
+                       np.array(mats, np.int32), albedo, emission)
+    return scene, np.array(tris, np.int32), occ_ids
+
+
+def test_shadow_silhouette_gradient_matches_fd():
+    """d(x-weighted mean image)/d(occluder x-shift): the occluder is
+    OFF-CAMERA, so interior + primary-edge terms are exactly zero; the
+    NEE shadow boundary term (diff/edge_sampling.shadow_boundary_image)
+    recovers the FD truth within Monte-Carlo tolerance (r1 verdict #5).
+    The functional weights pixels by x because the plain mean is ~0 by
+    the scene's x-symmetry (the shadow translates without changing area).
+    Measured at blessing time: fd ~ 0.0435 (stable across eps), estimator
+    mean ~ 0.0325 +- 0.006 over seeds — the ~25% residual is the
+    remaining BRDF-branch direct term and bounce-1 shadows, documented in
+    shadow_boundary_image's scope note."""
+    from cudapathtracer_tpu.utils.morton import morton_decode
+
+    scene, tris, occ_ids = shadow_scene()
+    et = build_edge_table(tris)
+    size = 32
+    cam = make_camera(pos=(0.0, 0.8, 3.0), dist_from_film=1.0,
+                      focal_length=3.0, width=size, height=size)
+    cfg = RenderConfig(width=size, height=size, spp=1, integrator="pt_nee",
+                       jitter=False, traversal="brute", num_bounces=2)
+    key = jax.random.PRNGKey(7)
+    SPP = 8
+    SPP_FD = 256
+    SES = 32768
+
+    qsel = jnp.zeros((scene.num_verts,), jnp.float32).at[
+        jnp.asarray(occ_ids)].set(1.0)
+    idx = jnp.arange(size * size, dtype=jnp.uint32)
+    px, _py = morton_decode(idx)
+    wx = px.astype(jnp.float32) / size - 0.5
+
+    def func(dx, ses, spp=SPP):
+        verts = scene.verts._replace(x=scene.verts.x + dx * qsel)
+        s = scene._replace(verts=verts)
+        img = rg.render_image_diff(
+            s, cam, cfg, key, spp,
+            edge_table=et, shadow_edge_samples=ses)
+        return jnp.mean((img.x + img.y + img.z) / 3.0 * wx)
+
+    g_int = float(jax.grad(func)(0.0, 0))
+    g_shadow = float(jax.grad(func)(0.0, SES))
+
+    eps = 0.06
+    fd = (float(func(eps, 0, SPP_FD))
+          - float(func(-eps, 0, SPP_FD))) / (2 * eps)
+
+    print(f"fd={fd:.5f} interior={g_int:.5f} with_shadow={g_shadow:.5f}")
+    assert np.isfinite(fd) and np.isfinite(g_shadow)
+    # occluder off-camera: interior + primary edges see nothing
+    assert abs(g_int) < 0.05 * abs(fd), (g_int, fd)
+    # shadow term recovers the FD truth within MC tolerance
+    assert abs(g_shadow - fd) < abs(g_int - fd), (g_int, g_shadow, fd)
+    assert fd * g_shadow > 0, (fd, g_shadow)
+    assert 0.45 < g_shadow / fd < 1.5, (fd, g_shadow)

@@ -115,3 +115,71 @@ def test_light_areas_cornell():
     total = float(jnp.sum(areas))
     np.testing.assert_allclose(total, float(scene.total_light_area), rtol=1e-6)
     np.testing.assert_allclose(total, (2 * 0.47) ** 2, rtol=1e-5)
+
+
+def test_pick_light_slot_large_L_matches_scan():
+    """L > 64 switches pick_light_slot to the binary-search path; it must
+    agree with the small-L broadcast scan exactly (r1 verdict item 7)."""
+    import numpy as np
+    from cudapathtracer_tpu.ops.shading import pick_light_slot
+
+    rng = np.random.default_rng(3)
+    L = 517
+    areas = jnp.asarray(rng.uniform(0.01, 2.0, L).astype(np.float32))
+    total = float(jnp.cumsum(areas)[-1])  # the scan's own total
+    x = jnp.asarray(
+        rng.uniform(-0.1 * total, 1.1 * total, 20000).astype(np.float32))
+
+    # reference: the broadcast scan (the small-L implementation, forced)
+    cum = jnp.cumsum(areas)
+    prev = cum - areas
+    rem = x[:, None] - prev[None, :]
+    match = (rem > 0.0) & (rem < areas[None, :])
+    ref = jnp.where(jnp.any(match, axis=1),
+                    jnp.argmax(match, axis=1).astype(jnp.int32), L)
+
+    got = pick_light_slot(x, areas)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # boundary fallthrough: x exactly on a bin edge, <= 0, >= total
+    edges = jnp.concatenate([cum[:5], jnp.asarray([0.0, -1.0, total,
+                                                   total + 1.0])])
+    got_e = pick_light_slot(edges, areas)
+    assert int(got_e[5]) == L and int(got_e[6]) == L
+    assert int(got_e[7]) == L and int(got_e[8]) == L
+
+
+def test_many_light_scene_renders():
+    """A 512-emissive-tri scene renders through the binary-search light
+    pick without the (R, L) broadcast memory cliff."""
+    import numpy as np
+    from cudapathtracer_tpu import RenderConfig, make_camera, render
+    from cudapathtracer_tpu.models.scene import make_scene
+
+    rng = np.random.default_rng(0)
+    # a field of 256 small emissive quads (512 tris) over a floor
+    verts = [(-4, 0, -4), (-4, 0, 4), (4, 0, 4), (4, 0, -4)]
+    tris = [(0, 1, 2), (0, 2, 3)]
+    mats = [0, 0]
+    for i in range(256):
+        cx, cz = rng.uniform(-3, 3, 2)
+        s = 0.05
+        b = len(verts)
+        verts += [(cx - s, 2.0, cz + s), (cx + s, 2.0, cz + s),
+                  (cx + s, 2.0, cz - s), (cx - s, 2.0, cz - s)]
+        tris += [(b, b + 1, b + 2), (b, b + 2, b + 3)]
+        mats += [1, 1]
+    albedo = np.array([[0.7, 0.7, 0.7], [0.5, 0.5, 0.5]], np.float32)
+    emission = np.array([[0, 0, 0], [30.0, 30.0, 30.0]], np.float32)
+    scene = make_scene(np.array(verts, np.float32),
+                       np.array(tris, np.int32),
+                       np.array(mats, np.int32), albedo, emission)
+    assert int(scene.num_lights) == 512
+
+    cam = make_camera(pos=(0.0, 1.0, 5.0), width=16, height=16)
+    cfg = RenderConfig(width=16, height=16, spp=4, integrator="pt_nee",
+                       samples_per_call=4, traversal="brute",
+                       light_normal_mode="true")
+    st = render(scene, cam, cfg, seed=2)
+    img = np.asarray(st.img.x)
+    assert np.isfinite(img).all() and img.max() > 0
