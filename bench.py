@@ -38,7 +38,11 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "16"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     subdiv = int(os.environ.get("BENCH_SUBDIV", "3"))
-    sbatch = int(os.environ.get("BENCH_SBATCH", "4"))
+    # sample_batch=1: joint S-sample tracing measured SLOWER on this
+    # workload (the sort key doesn't convert the extra ray density into
+    # tighter tiles; 4M-element argsorts scale superlinearly)
+    sbatch = int(os.environ.get("BENCH_SBATCH", "1"))
+    with_bdpt = os.environ.get("BENCH_BDPT", "1") != "0"
 
     desc = procedural.colonnade(subdiv=subdiv)
     scene = procedural.to_scene(desc)
@@ -83,6 +87,34 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
     }
+
+    if with_bdpt:
+        # secondary metric: BDPT — the reference's LIVE integrator
+        # (kernel.cu:549) — at its live 512^2 config, same ray accounting
+        import dataclasses
+
+        bsize = 512
+        bspp = max(2, spp // 4)
+        bcfg = dataclasses.replace(cfg, width=bsize, height=bsize,
+                                   integrator="bdpt", spp=bspp,
+                                   samples_per_call=bspp, sample_batch=1)
+        bcam = make_camera(pos=(0.0, 2.0, 3.4), width=bsize, height=bsize,
+                           focal_length=2.0)
+        st = render_batch_jit(scene, bvh, bcam, bcfg, key,
+                              init_accum(bcfg), bspp)
+        float(np.asarray(st.img.x[0]))
+        bdt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            st = render_batch_jit(scene, bvh, bcam, bcfg, key,
+                                  init_accum(bcfg), bspp)
+            float(np.asarray(st.img.x[0]))
+            bdt = min(bdt, time.time() - t0)
+        brays = bcfg.num_pixels * bspp * (bcfg.num_bounces + 1)
+        result["bdpt_mrays"] = round(brays / bdt / 1e6, 2)
+        result["bdpt_vs_baseline"] = round(
+            brays / bdt / 1e6 / BASELINE_MRAYS, 3)
+
     print(json.dumps(result))
     # extra context on stderr (driver only parses stdout JSON)
     import sys
