@@ -49,6 +49,9 @@ def main():
     cfg = RenderConfig(width=size, height=size, spp=spp,
                        integrator="pt_nee", samples_per_call=spp,
                        sample_batch=sbatch,
+                       packet_rounds=int(os.environ.get("BENCH_ROUNDS", "2")),
+                       packet_first_round=int(
+                           os.environ.get("BENCH_FIRST", "2")),
                        reuse_primary_hit=True)  # pinhole camera, no jitter
     t0 = time.time()
     bvh = build_bvh_for_scene(scene, cfg.leaf_size,

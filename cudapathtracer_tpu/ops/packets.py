@@ -346,16 +346,18 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     m = padv(mask, False).reshape(Tl, P)
 
     # ---- tile bounds (masked lanes excluded) ------------------------------
-    olox, ohix = _masked_bounds(ox, m, 1)
-    oloy, ohiy = _masked_bounds(oy, m, 1)
-    oloz, ohiz = _masked_bounds(oz, m, 1)
-    dlox, dhix = _masked_bounds(dx, m, 1)
-    dloy, dhiy = _masked_bounds(dy, m, 1)
-    dloz, dhiz = _masked_bounds(dz, m, 1)
-    olo = Vec3(olox, oloy, oloz)
-    ohi = Vec3(ohix, ohiy, ohiz)
-    dlo = Vec3(dlox, dloy, dloz)
-    dhi = Vec3(dhix, dhiy, dhiz)
+    # one stacked (Tl, 6, P) reduction pair instead of 12 separate
+    # (Tl, P) reduces: the separate slice_reduce fusions measured
+    # ~14 ms/trace at 1M rays, the stacked form ~1/3 of that
+    arr = jnp.stack([ox, oy, oz, dx, dy, dz], axis=1)  # (Tl, 6, P)
+    m3 = m[:, None, :]
+    inf_ = jnp.float32(jnp.inf)
+    mins = jnp.min(jnp.where(m3, arr, inf_), axis=2, keepdims=True)
+    maxs = jnp.max(jnp.where(m3, arr, -inf_), axis=2, keepdims=True)
+    olo = Vec3(mins[:, 0], mins[:, 1], mins[:, 2])
+    ohi = Vec3(maxs[:, 0], maxs[:, 1], maxs[:, 2])
+    dlo = Vec3(mins[:, 3], mins[:, 4], mins[:, 5])
+    dhi = Vec3(maxs[:, 3], maxs[:, 4], maxs[:, 5])
 
     cl_lo = Vec3(pd.cl_lo.x[None, :], pd.cl_lo.y[None, :], pd.cl_lo.z[None, :])
     cl_hi = Vec3(pd.cl_hi.x[None, :], pd.cl_hi.y[None, :], pd.cl_hi.z[None, :])

@@ -126,101 +126,153 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     return t_out, id_out
 
 
-_UNROLL = 1  # slots folded per while iteration: amortizes the scalar sync
-#              (jnp.max -> while cond) that otherwise costs ~0.7 us/slot
+def _box_any_hit_pc(cl, ox, oy, oz, idx, idy, idz, t_best):
+    """Does any LIVE ray enter this cluster's AABB within its current
+    [0, t_best] interval? ~25 (P, 1) VPU ops vs the ~45*(P, C) fold —
+    the cheap gate that lets straggler tiles (few live lanes, long
+    shortlists) skip most folds. Masked lanes carry t_best = -3e38 and
+    never pass. Box rows 10-15 of the resident block (pack_clusters)."""
+    blox = cl[10:11, 0:1]
+    bloy = cl[11:12, 0:1]
+    bloz = cl[12:13, 0:1]
+    bhix = cl[13:14, 0:1]
+    bhiy = cl[14:15, 0:1]
+    bhiz = cl[15:16, 0:1]
+    tx0 = (blox - ox) * idx
+    tx1 = (bhix - ox) * idx
+    ty0 = (bloy - oy) * idy
+    ty1 = (bhiy - oy) * idy
+    tz0 = (bloz - oz) * idz
+    tz1 = (bhiz - oz) * idz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    hit = (tmin <= tmax) & (tmax >= 0.0) & (tmin <= t_best)
+    return jnp.any(hit)
 
 
-def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
-            out_ref, slid, slent, sl_sem):
-    i = pl.program_id(0)
-    num_tris = meta_ref[0]
-    sentinel = meta_ref[1]  # K: the all-degenerate resident row
-    P = rays_ref.shape[2]
-    G = _TILE_GROUP
-    W = slid.shape[1]
+# slots folded per while iteration: amortizes the scalar sync (jnp.max ->
+# while cond, ~0.7 us) and the box-gate branches. Chosen per call: small
+# budgets (straggler round 1) fold exactly their 2 slots; full-shortlist
+# rounds unroll 4 (measured: unroll 4 on a budget-2 round cost +50%).
 
-    d1 = pltpu.make_async_copy(
-        slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
-    d2 = pltpu.make_async_copy(
-        slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
-    d1.start()
-    d2.start()
-    d1.wait()
-    d2.wait()
 
-    def one_tile(g, _):
-        cnt = slid[g, 0]
-        # rays arrive (8, P) — lane-dim P so the HBM array is unpadded
-        # ((Tl, P, 8) would be lane-padded 16x by the (8,128) tiling, which
-        # at 2048^2 alone exceeded HBM); one small transpose per tile gives
-        # the (P, 1) columns the math wants
-        tile = jnp.transpose(rays_ref[pl.ds(g, 1)].reshape(8, P))  # (P, 8)
-        ox = tile[:, 0:1]
-        oy = tile[:, 1:2]
-        oz = tile[:, 2:3]
-        dx = tile[:, 3:4]
-        dy = tile[:, 4:5]
-        dz = tile[:, 5:6]
-        lane_on = tile[:, 6:7] > 0.5
-        # row 7: per-ray search cap (scene-exit distance, ops/packets.py)
-        # as the fold INIT — miss rays stop the early exit at their exit
-        # point instead of holding MAX_FLOAT open for the whole shortlist
-        t_init = jnp.where(lane_on,
-                           jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
-                           _MASKED_T_INIT)
-        id_init = jnp.full((P, 1), -1, jnp.int32)
+def _make_kernel(unroll):
+    def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
+                out_ref, slid, slent, sl_sem):
+        i = pl.program_id(0)
+        num_tris = meta_ref[0]
+        sentinel = meta_ref[1]  # K: the all-degenerate resident row
+        P = rays_ref.shape[2]
+        G = _TILE_GROUP
+        W = slid.shape[1]
 
-        def cond(carry):
-            s, done, t_best, id_best = carry
-            return jnp.logical_not(done)
+        d1 = pltpu.make_async_copy(
+            slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
+        d2 = pltpu.make_async_copy(
+            slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
 
-        def make_body(unroll):
-            def body(carry):
+        def one_tile(g, _):
+            cnt = slid[g, 0]
+            # rays arrive (8, P) — lane-dim P so the HBM array is unpadded
+            # ((Tl, P, 8) would be lane-padded 16x by the (8,128) tiling, which
+            # at 2048^2 alone exceeded HBM); one small transpose per tile gives
+            # the (P, 1) columns the math wants
+            tile = jnp.transpose(rays_ref[pl.ds(g, 1)].reshape(8, P))  # (P, 8)
+            ox = tile[:, 0:1]
+            oy = tile[:, 1:2]
+            oz = tile[:, 2:3]
+            dx = tile[:, 3:4]
+            dy = tile[:, 4:5]
+            dz = tile[:, 5:6]
+            lane_on = tile[:, 6:7] > 0.5
+            # row 7: per-ray search cap (scene-exit distance, ops/packets.py)
+            # as the fold INIT — miss rays stop the early exit at their exit
+            # point instead of holding MAX_FLOAT open for the whole shortlist
+            t_init = jnp.where(lane_on,
+                               jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
+                               _MASKED_T_INIT)
+            id_init = jnp.full((P, 1), -1, jnp.int32)
+
+            def cond(carry):
                 s, done, t_best, id_best = carry
-                # straight-line slots; tail slots read the sentinel row
-                # (degenerate triangles) instead of branching
-                for u in range(unroll):
-                    su = s + u
-                    sid = jnp.where(su < cnt,
-                                    slid[g, jnp.minimum(1 + su, W - 1)],
-                                    sentinel)
-                    cl = cl_ref[sid]               # (16, C), VMEM slice
-                    t_best, id_best = _mt_fold_pc(
-                        cl, ox, oy, oz, dx, dy, dz, t_best, id_best,
-                        num_tris
-                    )
-                nxt = s + unroll
-                exhausted = nxt >= cnt
-                next_entry = slent[g, jnp.minimum(nxt, W - 1)]
-                t_max = jnp.max(t_best)
-                # strict <: equal-t lower-index triangles in the next
-                # cluster must still be considered (tie-break contract)
-                return (nxt, exhausted | (t_max < next_entry),
-                        t_best, id_best)
-            return body
+                return jnp.logical_not(done)
 
-        body = make_body(_UNROLL)
+            # guarded reciprocals: a zero component would make the slab test
+            # produce 0*inf = NaN, whose comparisons are False — the gate
+            # would then UNconservatively skip a plausible cluster
+            def _inv(d_):
+                return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
+                                       jnp.where(d_ < 0, -1e-30, 1e-30), d_)
 
-        # all-dead tiles (every lane masked: t_init all -3e38, i.e. < 0)
-        # skip the loop entirely — common in late straggler rounds where
-        # resolved rays compact into fully masked tiles
-        init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
-                t_init, id_init)
-        _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
+            idx_ = _inv(dx)
+            idy_ = _inv(dy)
+            idz_ = _inv(dz)
 
-        out = jnp.concatenate(
-            [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
-        )  # (P, 2); id == -1 -> 2^23 - 1, still exact
-        # store transposed (2, P): lane-dim P keeps the output unpadded
-        out_ref[pl.ds(g, 1)] = jnp.transpose(out).reshape(1, 2, P)
-        return 0
+            def make_body(unroll):
+                def body(carry):
+                    s, done, t_best, id_best = carry
+                    # straight-line slots; tail slots read the sentinel row
+                    # (degenerate triangles) instead of branching
+                    for u in range(unroll):
+                        su = s + u
+                        sid = jnp.where(su < cnt,
+                                        slid[g, jnp.minimum(1 + su, W - 1)],
+                                        sentinel)
+                        cl = cl_ref[sid]               # (16, C), VMEM slice
+                        plausible = _box_any_hit_pc(
+                            cl, ox, oy, oz, idx_, idy_, idz_, t_best)
+                        t_best, id_best = jax.lax.cond(
+                            plausible,
+                            lambda tb, ib: _mt_fold_pc(
+                                cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris),
+                            lambda tb, ib: (tb, ib),
+                            t_best, id_best,
+                        )
+                    nxt = s + unroll
+                    exhausted = nxt >= cnt
+                    next_entry = slent[g, jnp.minimum(nxt, W - 1)]
+                    t_max = jnp.max(t_best)
+                    # strict <: equal-t lower-index triangles in the next
+                    # cluster must still be considered (tie-break contract)
+                    return (nxt, exhausted | (t_max < next_entry),
+                            t_best, id_best)
+                return body
 
-    jax.lax.fori_loop(0, G, one_tile, 0)
+            body = make_body(unroll)
+
+            # all-dead tiles (every lane masked: t_init all -3e38, i.e. < 0)
+            # skip the loop entirely — common in late straggler rounds where
+            # resolved rays compact into fully masked tiles
+            init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
+                    t_init, id_init)
+            _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
+
+            out = jnp.concatenate(
+                [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
+            )  # (P, 2); id == -1 -> 2^23 - 1, still exact
+            # store transposed (2, P): lane-dim P keeps the output unpadded
+            out_ref[pl.ds(g, 1)] = jnp.transpose(out).reshape(1, 2, P)
+            return 0
+
+        jax.lax.fori_loop(0, G, one_tile, 0)
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
-                             num_tris, interpret: bool = False):
+                             num_tris, interpret: bool = False,
+                             unroll: int | None = None):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -231,6 +283,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     Returns (t (Tl, P) f32, tri (Tl, P) i32).
     """
     Tl, M = ids.shape
+    if unroll is None:
+        unroll = 2 if M <= 4 else 4
     P = rays.shape[2]
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
@@ -274,7 +328,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,
