@@ -52,6 +52,8 @@ def main():
                        packet_rounds=int(os.environ.get("BENCH_ROUNDS", "2")),
                        packet_first_round=int(
                            os.environ.get("BENCH_FIRST", "2")),
+                       cluster_size=(int(os.environ["BENCH_C"])
+                                     if "BENCH_C" in os.environ else None),
                        reuse_primary_hit=True)  # pinhole camera, no jitter
     t0 = time.time()
     bvh = build_bvh_for_scene(scene, cfg.leaf_size,

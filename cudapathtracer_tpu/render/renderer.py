@@ -378,12 +378,16 @@ def _upload_flat(lo, hi, skip, leaf, leaf_tri):
 
 
 def adaptive_cluster_size(num_tris: int) -> int:
-    """Default cluster granularity: ~T/8192 rounded up to a multiple of 128
-    (measured sweet spots: 128 at ~5k tris, 384-512 at ~20k, 1024 at 300k+).
-    Multiples of 128 keep the VMEM-resident kernel eligible."""
+    """Default cluster granularity: ~T/4096 in multiples of 128, clamped to
+    [256, 1024]. Re-swept in round 2 AFTER the kernels gained the per-slot
+    cluster-AABB gate: bigger clusters got cheaper to carry (irrelevant
+    ones cost a ~25-op box test instead of a full fold), moving the
+    20k-tri optimum from 384 to 640 (measured 20.2/20.7/21.3/22.4/21.5/21.1
+    Mrays/s at C=256/384/512/640/768/1024). Multiples of 128 keep the
+    VMEM-resident kernel eligible."""
     import math
 
-    return min(1024, max(128, 128 * math.ceil(num_tris / 8192)))
+    return min(1024, max(256, 128 * round(num_tris / 4096)))
 
 
 def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,

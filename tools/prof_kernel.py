@@ -62,6 +62,7 @@ def main():
     key = jax.random.PRNGKey(0)
     rays = jax.random.normal(key, (Tl, 8, P), jnp.float32)
     rays = rays.at[:, 6, :].set(1.0)  # lane mask on
+    rays = rays.at[:, 7, :].set(1e5)  # row 7 = search cap (no cap here)
     M = 32
 
     for c in (0, 1, 2, 4, 8, 16, 32):

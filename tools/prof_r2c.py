@@ -1,4 +1,4 @@
-"""Round-2 perf triage, part 3: HONEST timings.
+"""Round-2 perf triage: HONEST timings (the authoritative harness).
 
 The scan-repetition harness in prof_r2{,b}.py was invalid: XLA hoists the
 loop-invariant body computation out of the scan (the carry probe prevents
