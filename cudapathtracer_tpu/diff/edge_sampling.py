@@ -141,6 +141,11 @@ def boundary_image(scene, cam, edges: EdgeTable, radiance_fn, key,
     """
     E = edges.num_edges
     M = int(num_samples)
+    if E == 0:
+        # jax.random.randint with an empty [0, 0) range is undefined — an
+        # edge-free mesh simply has no silhouette term
+        z = jnp.zeros((num_pixels,), jnp.float32)
+        return Vec3(z, z, z)
     ke, ku = jax.random.split(key)
     eidx = jax.random.randint(ke, (M,), 0, E)
     u = jax.random.uniform(ku, (M,))
@@ -263,7 +268,8 @@ def shadow_boundary_image(scene, cam, edges: EdgeTable, trace_fn,
     E = edges.num_edges
     M = int(num_samples)
     L = int(scene.lights.shape[0])
-    if L == 0:
+    if L == 0 or E == 0:
+        # no lights -> no NEE term; no edges -> randint(0, 0) undefined
         z = jnp.zeros((num_pixels,), jnp.float32)
         return Vec3(z, z, z)
     kp, ke, ku, kl = jax.random.split(key, 4)

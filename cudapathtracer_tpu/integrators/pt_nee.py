@@ -183,5 +183,4 @@ def radiance_pt_nee(o: Vec3, d: Vec3, scene, trace_fn, keys,
         carry, _ = jax.lax.scan(
             bounce, carry, jnp.arange(1, params.num_bounces)
         )
-    (o, d, weight, accum, remaining) = carry
-    return accum
+    return carry[3]  # accum

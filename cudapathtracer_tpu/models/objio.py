@@ -32,6 +32,13 @@ class ObjMaterial:
     ior: float = 1.0
     dissolve: float = 1.0
     illum: int = 0
+    # texture map names (tiny_obj_loader.cc:552-575 parses map_Ka/map_Kd/
+    # map_Ks/map_Ns): parsed for parity completeness, UNUSED by the renderer
+    # (no reference scene carries textures; the reference ignores them too)
+    ambient_texname: str = ""
+    diffuse_texname: str = ""
+    specular_texname: str = ""
+    normal_texname: str = ""
 
 
 @dataclass
@@ -87,6 +94,14 @@ def parse_mtl(path) -> Dict[str, ObjMaterial]:
                 cur.dissolve = 1.0 - float(tok[1])
             elif key == "illum":
                 cur.illum = int(tok[1])
+            elif key == "map_Ka":
+                cur.ambient_texname = tok[1] if len(tok) > 1 else ""
+            elif key == "map_Kd":
+                cur.diffuse_texname = tok[1] if len(tok) > 1 else ""
+            elif key == "map_Ks":
+                cur.specular_texname = tok[1] if len(tok) > 1 else ""
+            elif key == "map_Ns":
+                cur.normal_texname = tok[1] if len(tok) > 1 else ""
     return mats
 
 

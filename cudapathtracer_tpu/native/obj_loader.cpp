@@ -33,6 +33,10 @@ struct Mtl {
   float emission[3] = {0, 0, 0};
   float shininess = 1, ior = 1, dissolve = 1;
   int illum = 0;
+  // texture map names (tiny_obj_loader.cc:552-575): parsed for parity
+  // completeness, unused by the renderer (no reference scene has textures)
+  std::string ambient_texname, diffuse_texname, specular_texname,
+      normal_texname;
 };
 
 struct Shape {
@@ -123,6 +127,10 @@ static void parse_mtl_file(const std::string& path,
       cur->dissolve = 1.0f - strtof(tok[1].c_str(), nullptr);
     else if (key == "illum" && tok.size() > 1)
       cur->illum = (int)strtol(tok[1].c_str(), nullptr, 10);
+    else if (key == "map_Ka" && tok.size() > 1) cur->ambient_texname = tok[1];
+    else if (key == "map_Kd" && tok.size() > 1) cur->diffuse_texname = tok[1];
+    else if (key == "map_Ks" && tok.size() > 1) cur->specular_texname = tok[1];
+    else if (key == "map_Ns" && tok.size() > 1) cur->normal_texname = tok[1];
   }
   fclose(f);
 }

@@ -205,9 +205,18 @@ def _kernel(meta_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
         dy = tile[4:5, :]
         dz = tile[5:6, :]
         lane_on = tile[6:7, :] > 0.5
-        idx = 1.0 / dx
-        idy = 1.0 / dy
-        idz = 1.0 / dz
+
+        # guarded reciprocals (same fix as dense_resident.py): an exactly
+        # axis-aligned ray with origin on a cluster slab plane would produce
+        # 0*inf = NaN in _box_any_hit, all comparisons go False, and the
+        # gate would UNconservatively skip a cluster that may hold the hit
+        def _inv(d_):
+            return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
+                                   jnp.where(d_ < 0, -1e-30, 1e-30), d_)
+
+        idx = _inv(dx)
+        idy = _inv(dy)
+        idz = _inv(dz)
 
         def dma(slot, s):
             return pltpu.make_async_copy(
@@ -337,9 +346,9 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, num_tris,
                 (G, 8, P), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # shortlist ids
-            pl.BlockSpec(memory_space=pltpu.ANY),  # shortlist entries
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cl_packed stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # shortlist ids
+            pl.BlockSpec(memory_space=pl.ANY),  # shortlist entries
+            pl.BlockSpec(memory_space=pl.ANY),  # cl_packed stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((G, P), lambda i, *_: (i, 0),

@@ -316,8 +316,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
             pl.BlockSpec((G, NR, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # resident scene
-            pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist ids
-            pl.BlockSpec(memory_space=pltpu.ANY),   # shortlist entries
+            pl.BlockSpec(memory_space=pl.ANY),   # shortlist ids
+            pl.BlockSpec(memory_space=pl.ANY),   # shortlist entries
         ],
         out_specs=pl.BlockSpec((G, 2, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),

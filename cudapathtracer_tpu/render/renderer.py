@@ -258,10 +258,14 @@ def render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
     """Jitted render_batch. The pinhole precondition of reuse_primary_hit is
     checked HERE, where cam.radius is still concrete (inside jit it is a
     tracer and the stale-hit bias would be silent)."""
-    if cfg.reuse_primary_hit and not cfg.jitter:
+    if cfg.reuse_primary_hit:
+        # unconditional on jitter: group_of skips the lens draws whenever
+        # reuse_primary_hit is set, so a radius > 0 camera would silently
+        # lose its depth of field even when jitter disables hit reuse
         assert float(cam.radius) == 0.0, (
             "cfg.reuse_primary_hit requires a pinhole camera (radius=0): "
-            "lens samples vary per sample, a cached primary hit is stale"
+            "lens samples vary per sample, a cached primary hit is stale "
+            "(and the lens draw is skipped entirely on this path)"
         )
     return _render_batch_jit(scene, bvh, cam, cfg, base_key, state,
                              num_samples)
@@ -305,12 +309,11 @@ def _build_flat_host(verts, tris, leaf_size: int, use_native: bool):
     the cluster extraction never reads back through a (potentially slow)
     remote-TPU tunnel."""
     if use_native:
+        built = None
         try:
             from ..accel.native import build_bvh_native
 
-            d, _depth = build_bvh_native(verts, tris, leaf_size)
-            return (d["node_lo"], d["node_hi"], d["node_skip"],
-                    d["node_leaf"], d["leaf_tri"])
+            built = build_bvh_native(verts, tris, leaf_size)
         except Exception as e:
             import warnings
 
@@ -318,6 +321,22 @@ def _build_flat_host(verts, tris, leaf_size: int, use_native: bool):
                 "native BVH builder failed, falling back to the (much "
                 f"slower) python twin: {type(e).__name__}: {e}"
             )
+        if built is not None:
+            from ..utils.constants import MAX_BVH_DEPTH
+
+            d, depth = built
+            if depth >= MAX_BVH_DEPTH:
+                # same contract as the python twin (accel/bvh.py:331-334)
+                # and the reference's fatal guard (kernel.cu:627-631);
+                # traversal is stackless so it would not crash, but both
+                # builders must enforce one contract — and this is a real
+                # error, not a reason to fall back to the python twin
+                # (which would only rebuild slowly and raise the same)
+                raise RuntimeError(
+                    f"BVH depth {depth} >= {MAX_BVH_DEPTH}"
+                )
+            return (d["node_lo"], d["node_hi"], d["node_skip"],
+                    d["node_leaf"], d["leaf_tri"])
     flat, _meta = build_bvh(verts, tris, leaf_size)
     lo = np.stack([np.asarray(flat.node_lo_x), np.asarray(flat.node_lo_y),
                    np.asarray(flat.node_lo_z)], axis=1)

@@ -24,7 +24,7 @@ def setup():
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_render_bit_identical(setup, n_dev):
+def test_sharded_render_matches_single_ulp(setup, n_dev):
     """Sharded render == single-chip render, to within XLA fusion ULPs.
 
     The RNG keys on pixel index (not array position), the trace engines are
