@@ -116,25 +116,6 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     albedo[0] = None  # vertex 0's BRDF is never evaluated (kernel.cu:362)
     inv_prob[0] = jnp.broadcast_to(total_area, (R,))
 
-    # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
-    u1 = _us[3]
-    u2 = _us[4]
-    o_dir = uniform_hemisphere(norm[0], u1, u2, params.orthonormal_frame)
-    hit = trace_fn(x[0], o_dir, all_on)
-    t = hit.t - EPS_HIT
-    missed = t > MAX_FLOAT - 1.0
-    tri = jnp.where(missed, 0, jnp.maximum(hit.tri, 0))
-    t = jnp.where(missed, 0.0, t)
-    n2, alb1, _, _ = tri_shading(shade_tab, tri)
-    g = jnp.abs(dot(n2, o_dir)) / jnp.maximum(EPS_HIT, t * t)  # kernel.cu:292
-    x[1] = x[0] + o_dir * t
-    norm[1] = n2
-    albedo[1] = alb1
-    # reference: 2π/g would be inf at g==0; downstream that inf meets a 0 and
-    # becomes NaN→0 via its nan guard. safe_div reaches the same 0 directly
-    # (and keeps the VJP NaN-free).
-    inv_prob[1] = safe_div(2.0 * PI_REF, g)
-
     # ---- camera vertex 4: the camera itself (kernel.cu:301-305) ----------
     x[CAM_IND] = o
     norm[CAM_IND] = d  # stores the *direction* (reference quirk)
@@ -153,13 +134,47 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     albedo[3] = alb3
     inv_prob[3] = jnp.ones((R,))
 
-    # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
+    # ---- subpath bounces, ONE batched trace ------------------------------
+    # The light-subpath bounce (kernel.cu:273) and the camera second bounce
+    # (kernel.cu:333) are mutually independent once the primary hit is
+    # known, so they trace as a single (2R,) batch: one packet sort window
+    # instead of two, double the ray density per tile. Per-ray results are
+    # identical to separate calls (lane math is elementwise; the packet
+    # engine's dropped-candidate bound makes results batch-independent), so
+    # radiance is bit-identical to the unbatched form.
+    u1 = _us[3]
+    u2 = _us[4]
+    o_dir = uniform_hemisphere(norm[0], u1, u2, params.orthonormal_frame)
     cu1 = _us[5]
     cu2 = _us[6]
     d2dir = cosine_hemisphere(norm[3], cu1, cu2, params.orthonormal_frame)
-    hit2 = trace_fn(x[3], d2dir, all_on)
-    t2 = hit2.t - EPS_HIT  # kernel.cu:334 — note: NO miss reset here
-    tri2 = jnp.maximum(hit2.tri, 0)  # clamp (reference reads OOB on miss)
+
+    def _cat(a, b):
+        return Vec3(jnp.concatenate([a.x, b.x]),
+                    jnp.concatenate([a.y, b.y]),
+                    jnp.concatenate([a.z, b.z]))
+
+    hit_b = trace_fn(_cat(x[0], x[3]), _cat(o_dir, d2dir),
+                     jnp.ones((2 * R,), bool))
+
+    # ---- light subpath vertex 1: one uniform bounce (kernel.cu:268-298) --
+    t = hit_b.t[:R] - EPS_HIT
+    missed = t > MAX_FLOAT - 1.0
+    tri = jnp.where(missed, 0, jnp.maximum(hit_b.tri[:R], 0))
+    t = jnp.where(missed, 0.0, t)
+    n2, alb1, _, _ = tri_shading(shade_tab, tri)
+    g = jnp.abs(dot(n2, o_dir)) / jnp.maximum(EPS_HIT, t * t)  # kernel.cu:292
+    x[1] = x[0] + o_dir * t
+    norm[1] = n2
+    albedo[1] = alb1
+    # reference: 2π/g would be inf at g==0; downstream that inf meets a 0 and
+    # becomes NaN→0 via its nan guard. safe_div reaches the same 0 directly
+    # (and keeps the VJP NaN-free).
+    inv_prob[1] = safe_div(2.0 * PI_REF, g)
+
+    # ---- camera vertex 2: cosine bounce (kernel.cu:329-348) --------------
+    t2 = hit_b.t[R:] - EPS_HIT  # kernel.cu:334 — note: NO miss reset here
+    tri2 = jnp.maximum(hit_b.tri[R:], 0)  # clamp (ref reads OOB on miss)
     n22, alb2, _, _ = tri_shading(shade_tab, tri2)
     g2 = safe_div(jnp.abs(dot(norm[3], d2dir) * dot(n22, d2dir)), t2 * t2)
     g2 = jnp.where(g2 == 0.0, 1.0, g2)   # kernel.cu:339-342 (0 and NaN -> 1)
@@ -182,6 +197,11 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
         f_s = albedos[k] * (1.0 / PI_REF)
         return f_s * (g * inv_prob[k])
 
+    # All four (i, j) strategies' shadow rays are independent, so they
+    # trace as ONE (4R,) batch (one sort window; the bright-gate masks
+    # compact into dead tiles under the packet sort). Bit-identical to four
+    # separate masked traces — see the subpath-batch note above.
+    conns = []
     for i in range(LIGHT_PATH_SIZE):           # i in {0, 1}
         for j in range(LIGHT_PATH_SIZE, PATH_SIZE - 1):  # j in {2, 3}
             weight = l_e * inv_prob[0]
@@ -201,12 +221,23 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
 
             m = max_component(weight)
             bright = m > THROUGHPUT_CUTOFF      # kernel.cu:394-398
-            sh = trace_fn(x[i], ray, bright)    # masked shadow trace
-            visible = jnp.abs(sh.t - seg_len) <= EPS_VISIBILITY
-            v = (bright & visible).astype(jnp.float32)
-            weight = weight * v
+            conns.append((weight, x[i], ray, seg_len, bright))
 
-            accum = accum + weight
-            accum = accum + cam_hit_emission    # kernel.cu:410 (4x quirk)
+    def _catn(vs):
+        return Vec3(jnp.concatenate([v.x for v in vs]),
+                    jnp.concatenate([v.y for v in vs]),
+                    jnp.concatenate([v.z for v in vs]))
+
+    sh = trace_fn(_catn([c[1] for c in conns]), _catn([c[2] for c in conns]),
+                  jnp.concatenate([c[4] for c in conns]))
+
+    for ci, (weight, _, _, seg_len, bright) in enumerate(conns):
+        sh_t = sh.t[ci * R:(ci + 1) * R]
+        visible = jnp.abs(sh_t - seg_len) <= EPS_VISIBILITY
+        v = (bright & visible).astype(jnp.float32)
+        weight = weight * v
+
+        accum = accum + weight
+        accum = accum + cam_hit_emission        # kernel.cu:410 (4x quirk)
 
     return accum

@@ -125,9 +125,10 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 else "xla"
 
         # straggler rounds pay off on pt_nee's long incoherent bounce
-        # batches; BDPT's 7 calls/sample are short shadow/subpath traces
-        # where the per-round sort overhead measured as a net loss
-        rounds = cfg.packet_rounds if cfg.integrator == "pt_nee" else 1
+        # batches; BDPT's traces are batched 2R/4R calls since round 3
+        # (integrators/bdpt.py) with their own separately-measured knob
+        rounds = (cfg.packet_rounds if cfg.integrator == "pt_nee"
+                  else cfg.packet_rounds_bdpt)
 
         def trace_fn(o, d, mask):
             return packets.trace_packets(

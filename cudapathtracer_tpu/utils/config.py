@@ -51,6 +51,12 @@ class RenderConfig:
     #                                 measured worse — per-round sort/cull
     #                                 overhead)
     packet_first_round: int = 2     # round-1 candidate budget per tile
+    packet_rounds_bdpt: int = 1     # straggler rounds for BDPT's traces.
+    #                                 Round 2 measured rounds as a net loss
+    #                                 on BDPT's 7 short per-call batches;
+    #                                 round 3 batches those into 2 calls
+    #                                 (integrators/bdpt.py), so the knob is
+    #                                 separately tunable again.
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
     #                                 'pallas_interpret' (CPU debugging)
     # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)

@@ -84,6 +84,42 @@ def main():
     assert checked == cfg.num_pixels // nproc, checked
     print(f"OK process {pid}: {checked} pixels verified", flush=True)
 
+    # ---- multi-host sharded checkpoint: save, reload, resume -------------
+    # Contract (kernel.cu:552 accumulation state): resuming a sharded
+    # render from per-process shard files must be BIT-identical to the
+    # uninterrupted sharded run.
+    import tempfile
+
+    from cudapathtracer_tpu.utils.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    ckdir = tempfile.mkdtemp(prefix=f"ckpt_shared_")
+    # both processes must use the SAME directory: derive from coordinator
+    # port (the parent passes a shared tmpdir via argv[4])
+    ckdir = sys.argv[4] if len(sys.argv) > 4 else ckdir
+    ckpath = f"{ckdir}/render.ckpt"
+    save_checkpoint_sharded(ckpath, st, seed=4, cfg=cfg)
+
+    st2, seed2 = load_checkpoint_sharded(ckpath, mesh, cfg=cfg)
+    assert seed2 == 4 and int(st2.n) == 2
+
+    # resume 2 more samples from the loaded state; compare against an
+    # uninterrupted 4-sample run (same sharded pipeline, same key)
+    st_resumed = render_sharded(scene_g, bvh_g, cam_g, cfg, key_g, st2, 2,
+                                mesh, idx=idx_g)
+    st_straight = render_sharded(scene_g, bvh_g, cam_g, cfg, key_g,
+                                 put(init_accum(cfg),
+                                     lambda x: til if jnp.ndim(x) >= 1
+                                     else rep), 4, mesh, idx=idx_g)
+    for a, b in zip(st_resumed.img.x.addressable_shards,
+                    st_straight.img.x.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+    assert int(st_resumed.n) == 4
+    print(f"OK process {pid}: sharded checkpoint resume bit-exact",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -42,9 +42,12 @@ def test_two_process_distributed_render():
     env["PYTHONPATH"] = os.pathsep.join([REPO] + extra)
     worker = os.path.join(HERE, "distributed_worker.py")
 
+    import tempfile
+
+    ckdir = tempfile.mkdtemp(prefix="ckpt_dist_")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(pid)],
+            [sys.executable, worker, coord, "2", str(pid), ckdir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -65,3 +68,4 @@ def test_two_process_distributed_render():
             f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}"
         )
         assert f"OK process {pid}" in out, out[-2000:]
+        assert "sharded checkpoint resume bit-exact" in out, out[-2000:]
