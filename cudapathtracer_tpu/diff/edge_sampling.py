@@ -131,20 +131,29 @@ def _rays_from_film(cam, fx, fy):
 
 def boundary_image(scene, cam, edges: EdgeTable, radiance_fn, key,
                    num_samples: int, num_pixels: int,
-                   offset_film: float = 2e-4) -> Vec3:
+                   offset_film: float = 2e-4,
+                   tile_offset=0, tile_pixels: int | None = None) -> Vec3:
     """The boundary-gradient image: (R,) Vec3 whose VALUE is exactly zero
     and whose vertex cotangents carry the silhouette term.
 
     radiance_fn(o, d, keys_idx) -> Vec3: one-sample radiance estimate for
     rays (o, d); must already be the DETACHED estimator (its own gradient
     is irrelevant here — stop_gradient is applied to its output anyway).
+
+    Tile sharding: ``tile_offset``/``tile_pixels`` restrict the SCATTER to
+    the Morton-contiguous pixel range [offset, offset+tile_pixels). Every
+    chip draws the same global samples (same key => same values), so the
+    per-chip images sum to exactly the single-chip image — no collectives,
+    bit-reproducible (parallel/shard.make_train_step relies on this).
     """
     E = edges.num_edges
     M = int(num_samples)
+    if tile_pixels is None:
+        tile_pixels = num_pixels
     if E == 0:
         # jax.random.randint with an empty [0, 0) range is undefined — an
         # edge-free mesh simply has no silhouette term
-        z = jnp.zeros((num_pixels,), jnp.float32)
+        z = jnp.zeros((tile_pixels,), jnp.float32)
         return Vec3(z, z, z)
     ke, ku = jax.random.split(key)
     eidx = jax.random.randint(ke, (M,), 0, E)
@@ -220,7 +229,10 @@ def boundary_image(scene, cam, edges: EdgeTable, radiance_fn, key,
 
     j = morton_encode(px.astype(jnp.uint32), py.astype(jnp.uint32))
     j = jnp.where(valid, j, jnp.uint32(num_pixels))  # dropped
-    zero = jnp.zeros((num_pixels,), jnp.float32)
+    # tile-local scatter: uint32 subtraction wraps out-of-tile pixels to
+    # huge indices, which mode="drop" discards
+    j = j - jnp.uint32(tile_offset)
+    zero = jnp.zeros((tile_pixels,), jnp.float32)
     return Vec3(
         zero.at[j].add(cx, mode="drop"),
         zero.at[j].add(cy, mode="drop"),
@@ -233,7 +245,9 @@ def shadow_boundary_image(scene, cam, edges: EdgeTable, trace_fn,
                           num_pixels: int, branch_factor: float = 0.5,
                           light_normal_mode: str = "fixed",
                           vis_eps: float = 1e-2,
-                          offset_area: float = 2e-3) -> Vec3:
+                          offset_area: float = 2e-3,
+                          tile_offset=0,
+                          tile_pixels: int | None = None) -> Vec3:
     """Secondary-visibility boundary term: NEE shadow silhouettes.
 
     The direct term of the PT+NEE estimator at the primary hit x is an
@@ -268,9 +282,11 @@ def shadow_boundary_image(scene, cam, edges: EdgeTable, trace_fn,
     E = edges.num_edges
     M = int(num_samples)
     L = int(scene.lights.shape[0])
+    if tile_pixels is None:
+        tile_pixels = num_pixels
     if L == 0 or E == 0:
         # no lights -> no NEE term; no edges -> randint(0, 0) undefined
-        z = jnp.zeros((num_pixels,), jnp.float32)
+        z = jnp.zeros((tile_pixels,), jnp.float32)
         return Vec3(z, z, z)
     kp, ke, ku, kl = jax.random.split(key, 4)
     pix = jax.random.randint(kp, (M,), 0, num_pixels).astype(jnp.uint32)
@@ -411,7 +427,9 @@ def shadow_boundary_image(scene, cam, edges: EdgeTable, trace_fn,
     cy = f_g * dv_vis * w * motion
     cz = f_b * dv_vis * w * motion
     j = jnp.where(valid, pix, jnp.uint32(num_pixels))
-    zeros = jnp.zeros((num_pixels,), jnp.float32)
+    # tile-local scatter (see boundary_image): wrap-to-huge + drop
+    j = j - jnp.uint32(tile_offset)
+    zeros = jnp.zeros((tile_pixels,), jnp.float32)
     return Vec3(
         zeros.at[j].add(cx, mode="drop"),
         zeros.at[j].add(cy, mode="drop"),

@@ -154,14 +154,18 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
     acc, _ = jax.lax.scan(one_sample, Vec3.zeros((r,)), jnp.arange(spp))
     img = acc * (1.0 / spp)
 
+    # Tile sharding of the boundary terms: every chip draws the SAME global
+    # edge samples (fixed fold-in keys below) and scatters only the ones
+    # landing in its own Morton-contiguous pixel range [idx[0], idx[0]+r).
+    # Per-chip contributions are disjoint and sum to exactly the full-image
+    # term, so sharded == single-chip without any collective. (idx must be
+    # a contiguous Morton range — the parallel/shard.py layout.)
+    tile_offset = idx[0] if r != cfg.num_pixels else 0
+
     if edge_samples > 0:
         assert edge_table is not None, (
             "edge_samples > 0 needs a prebuilt EdgeTable "
             "(diff/edge_sampling.build_edge_table — host-side)"
-        )
-        assert idx.shape[0] == cfg.num_pixels, (
-            "edge sampling covers the full image (tile sharding of the "
-            "boundary term: future work)"
         )
         from .edge_sampling import boundary_image
 
@@ -174,6 +178,7 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
             scene, cam, edge_table, boundary_radiance,
             jax.random.fold_in(base_key, 0xED6E),
             edge_samples, cfg.num_pixels,
+            tile_offset=tile_offset, tile_pixels=r,
         )
 
     if shadow_edge_samples > 0:
@@ -199,6 +204,7 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
             shadow_edge_samples, cfg.num_pixels,
             branch_factor=1.0 if cfg.branch_pdf_correction else 0.5,
             light_normal_mode=cfg.light_normal_mode,
+            tile_offset=tile_offset, tile_pixels=r,
         )
     return img
 

@@ -108,43 +108,61 @@ def render_sharded_jit(scene, bvh, cam, cfg, base_key, state, num_samples,
 # distributed differentiable train step
 # ---------------------------------------------------------------------------
 
-def make_train_step(scene, cam, cfg: RenderConfig, mesh: Mesh, spp: int,
-                    bvh=None, optimizer=None, learning_rate: float = 1e-2):
-    """Build a jitted distributed train step over scene parameters:
+def make_sharded_grad_fn(scene, cam, cfg: RenderConfig, mesh: Mesh,
+                         spp: int, bvh=None, edge_samples: int = 0,
+                         shadow_edge_samples: int = 0):
+    """(params, target, idx_all, key) -> (global loss, psum'd grads).
 
-        (params, opt_state, target, key) -> (loss, params, opt_state)
+    The gradient core of make_train_step, exposed so tests (and custom
+    optimizer loops) can read the all-reduced gradients directly."""
 
-    Each chip renders + differentiates its pixel tile (diff/render_grad),
-    grads and loss are psum'd over ICI, then the update runs replicated.
-    ``optimizer``: any optax GradientTransformation; None = plain SGD with
-    ``learning_rate``. ``target`` is the (R,) Morton-ordered target image
-    (Vec3), sharded like the render.
-    """
     n_dev = mesh.devices.size
     assert cfg.num_pixels % n_dev == 0
-    idx_all = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
     rep = P()
     til = P(TILE_AXIS)
     params0 = rg.targets_of(scene)
 
+    edge_table = None
+    if edge_samples > 0 or shadow_edge_samples > 0:
+        import numpy as np
+
+        from ..diff.edge_sampling import build_edge_table
+        from ..models.scene import host_geometry
+
+        cached = host_geometry(scene)
+        if cached is not None:
+            _, tris_h = cached
+        else:
+            tris_h = np.stack(
+                [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+                 np.asarray(scene.tri_v2)], axis=1)
+        edge_table = build_edge_table(tris_h)
+
     def tile_loss_and_grad(params, target_tile, idx_tile, key):
         def tile_loss(p):
             s = rg.scene_with(scene, p)
             img = rg.render_image_diff(s, cam, cfg, key, spp, bvh=bvh,
-                                       idx=idx_tile)
+                                       idx=idx_tile,
+                                       edge_samples=edge_samples,
+                                       edge_table=edge_table,
+                                       shadow_edge_samples=(
+                                           shadow_edge_samples))
             dx = img.x - target_tile.x
             dy = img.y - target_tile.y
             dz = img.z - target_tile.z
-            # sum per tile; global mean = psum(sum) / num_pixels
-            return jnp.sum(dx * dx + dy * dy + dz * dz)
+            # tile partial of the GLOBAL MEAN loss: divide by num_pixels
+            # here so the psum'd gradients are gradients of that same mean
+            # (round-2 latent bug: grads were psum'd of the un-divided sum,
+            # num_pixels x the reported loss's gradient)
+            return jnp.sum(dx * dx + dy * dy + dz * dz) / cfg.num_pixels
 
         loss, grads = jax.value_and_grad(tile_loss)(params)
-        loss = jax.lax.psum(loss, TILE_AXIS) / cfg.num_pixels
+        loss = jax.lax.psum(loss, TILE_AXIS)
         grads = jax.lax.psum(grads, TILE_AXIS)  # ICI gradient all-reduce
         return loss, grads
 
-    sharded_grad = jax.shard_map(
+    return jax.shard_map(
         tile_loss_and_grad,
         mesh=mesh,
         in_specs=(
@@ -156,6 +174,31 @@ def make_train_step(scene, cam, cfg: RenderConfig, mesh: Mesh, spp: int,
         out_specs=(rep, _pspec(params0, rep)),
         check_vma=False,
     )
+
+
+def make_train_step(scene, cam, cfg: RenderConfig, mesh: Mesh, spp: int,
+                    bvh=None, optimizer=None, learning_rate: float = 1e-2,
+                    edge_samples: int = 0, shadow_edge_samples: int = 0):
+    """Build a jitted distributed train step over scene parameters:
+
+        (params, opt_state, target, key) -> (loss, params, opt_state)
+
+    Each chip renders + differentiates its pixel tile (diff/render_grad),
+    grads and loss are psum'd over ICI, then the update runs replicated.
+    ``optimizer``: any optax GradientTransformation; None = plain SGD with
+    ``learning_rate``. ``target`` is the (R,) Morton-ordered target image
+    (Vec3), sharded like the render.
+
+    ``edge_samples`` / ``shadow_edge_samples`` enable the silhouette
+    boundary gradients (diff/edge_sampling.py) INSIDE the sharded step:
+    each chip draws the same global edge samples and scatters only into
+    its own Morton tile, so the psum'd gradient equals the single-chip
+    one (tested in tests/test_parallel.py).
+    """
+    idx_all = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    sharded_grad = make_sharded_grad_fn(
+        scene, cam, cfg, mesh, spp, bvh=bvh, edge_samples=edge_samples,
+        shadow_edge_samples=shadow_edge_samples)
 
     if optimizer is not None:
         import optax

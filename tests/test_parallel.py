@@ -158,3 +158,58 @@ def test_train_step_with_optax(setup):
     opt_state = tx.init(params)
     loss, params, opt_state = step(params, opt_state, target, key)
     assert np.isfinite(float(loss))
+
+
+def test_train_step_edge_grads_match_single_device(setup):
+    """Sharded boundary-term gradients == single-device (r3 verdict #5).
+
+    Each chip draws the same global edge samples and scatters only into its
+    own Morton tile, so the psum'd silhouette gradient must match the
+    single-device one to summation-order ULPs.
+    """
+    import numpy as np_
+
+    from cudapathtracer_tpu.diff.edge_sampling import build_edge_table
+    from cudapathtracer_tpu.models.scene import host_geometry
+
+    scene, cam, bvh = setup
+    cfg = RenderConfig(width=16, height=16, spp=1, integrator="pt_nee",
+                       samples_per_call=1)
+    key = jax.random.PRNGKey(0)
+    target = rg.render_image_diff(scene, cam, cfg, jax.random.PRNGKey(9), 1,
+                                  bvh=bvh)
+
+    _, tris_h = host_geometry(scene)
+    etab = build_edge_table(np_.asarray(tris_h))
+
+    ES, SES = 64, 64
+
+    def loss_single(p):
+        s = rg.scene_with(scene, p)
+        img = rg.render_image_diff(s, cam, cfg, key, 1, bvh=bvh,
+                                   edge_samples=ES, edge_table=etab,
+                                   shadow_edge_samples=SES)
+        dx = img.x - target.x
+        dy = img.y - target.y
+        dz = img.z - target.z
+        return jnp.sum(dx * dx + dy * dy + dz * dz) / cfg.num_pixels
+
+    p0 = rg.targets_of(scene)
+    loss_ref, grads_ref = jax.value_and_grad(loss_single)(p0)
+
+    m = mesh_mod.make_tile_mesh(8)
+    grad_fn = shard_mod.make_sharded_grad_fn(
+        scene, cam, cfg, m, spp=1, bvh=bvh,
+        edge_samples=ES, shadow_edge_samples=SES)
+    idx_all = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    loss_sh, grads_sh = jax.jit(grad_fn)(p0, target, idx_all, key)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    g_ref = np.asarray(grads_ref.verts.x)
+    g_sh = np.asarray(grads_sh.verts.x)
+    assert np.abs(g_ref).max() > 0  # the edge terms must actually fire
+    np.testing.assert_allclose(g_sh, g_ref, rtol=2e-4,
+                               atol=1e-6 * np.abs(g_ref).max())
+    np.testing.assert_allclose(np.asarray(grads_sh.verts.y),
+                               np.asarray(grads_ref.verts.y), rtol=2e-4,
+                               atol=1e-6 * np.abs(g_ref).max())
