@@ -206,22 +206,10 @@ def cmd_heatmap(args):
 
     if args.falsecolor:
         # the 'sponza bvh.ppm' keeper: per-pixel traversal-cost falsecolor
-        import numpy as np
-
-        from .render.renderer import finalize_image, init_accum
-        from .ops.vecmath import Vec3
-        from .render.renderer import AccumState
-
-        v = stats.ray_visits.astype(jnp.float32)
-        v = v / jnp.maximum(1.0, jnp.max(v))
-        st = AccumState(
-            img=Vec3(v * 4.0, 1.0 - v, jnp.zeros_like(v)),  # red = costly
-            comp=Vec3(jnp.zeros_like(v), jnp.zeros_like(v),
-                      jnp.zeros_like(v)),
-            n=jnp.ones((), jnp.int32),
-        )
         from . import write_render
+        from .utils.profiling import falsecolor_state
 
+        st, _ = falsecolor_state(scene, bvh, cam, cfg, seed=args.seed)
         write_render(args.falsecolor, st, cfg)
         print(f"wrote {args.falsecolor} (BVH falsecolor)", file=sys.stderr)
 

@@ -152,3 +152,37 @@ class HealthWatchdog:
         if paused:
             self.on_pause("render resumed")
         return paused
+
+
+def falsecolor_state(scene, bvh, cam, cfg, seed: int = 1234):
+    """Per-pixel traversal-cost falsecolor as an AccumState — the library
+    form of the reference's 'sponza bvh.ppm' keeper mode (cli.py heatmap
+    --falsecolor uses this; tests/test_goldens.py blesses it).
+
+    Red channel = normalized per-ray BVH node visits (costly = red),
+    green = inverse — one primary-ray trace with stats, deterministic for
+    a fixed (scene, camera, seed).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..accel.bvh import as_fine
+    from ..ops import traversal
+    from ..ops.rng import pixel_keys, sample_key
+    from ..ops.vecmath import Vec3
+    from ..render.camera import camera_rays
+    from ..render.renderer import AccumState
+
+    td = traversal.make_trace_data(scene, as_fine(bvh))
+    idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(seed), 0), idx)
+    o, d = camera_rays(cam, idx, keys)
+    _, stats = traversal.trace(o, d, td, with_stats=True)
+    v = stats.ray_visits.astype(jnp.float32)
+    v = v / jnp.maximum(1.0, jnp.max(v))
+    z = jnp.zeros_like(v)
+    return AccumState(
+        img=Vec3(v * 4.0, 1.0 - v, z),  # red = costly
+        comp=Vec3(z, z, z),
+        n=jnp.ones((), jnp.int32),
+    ), stats

@@ -73,3 +73,20 @@ def test_golden_cornell_pt_nee_128():
                        samples_per_call=8)
     st = cpt.render(scene, cam, cfg, seed=1234)
     _check(st, cfg, "cornell_pt_nee_128_spp8.ppm")
+
+
+def test_golden_bvh_falsecolor():
+    """Traversal-cost falsecolor (the 'sponza bvh.ppm' keeper analogue,
+    /root/reference/keepers/): drift in per-ray BVH visit counts — BVH
+    build quality or traversal behavior — shows up as image drift here."""
+    from cudapathtracer_tpu.render.renderer import build_bvh_for_scene
+    from cudapathtracer_tpu.utils.profiling import falsecolor_state
+
+    scene = procedural.to_scene(procedural.colonnade(subdiv=2))
+    cfg = RenderConfig(width=64, height=64, spp=1, samples_per_call=1,
+                       integrator="pt_nee")
+    cam = make_camera(pos=(0.0, 2.0, 3.4), width=64, height=64,
+                      focal_length=2.0)
+    bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+    st, _ = falsecolor_state(scene, bvh, cam, cfg, seed=1234)
+    _check(st, cfg, "colonnade_bvh_falsecolor_64.ppm")

@@ -36,6 +36,27 @@ def bless(name, scene, cfg, cam):
     print(f"blessed {name}: mean u8 {img.astype(np.float64).mean():.1f}")
 
 
+def bless_falsecolor():
+    """BVH-traversal-cost falsecolor golden (the 'sponza bvh.ppm' analogue,
+    r2 verdict #7): drift in traversal cost becomes visible in CI."""
+    from cudapathtracer_tpu.render.renderer import build_bvh_for_scene
+    from cudapathtracer_tpu.utils.profiling import falsecolor_state
+
+    scene = procedural.to_scene(procedural.colonnade(subdiv=2))
+    cfg = RenderConfig(width=64, height=64, spp=1, samples_per_call=1,
+                       integrator="pt_nee")
+    cam = make_camera(pos=(0.0, 2.0, 3.4), width=64, height=64,
+                      focal_length=2.0)
+    bvh = build_bvh_for_scene(scene, cfg.leaf_size)
+    st, stats = falsecolor_state(scene, bvh, cam, cfg, seed=1234)
+    img = finalize_image(st, cfg)
+    write_ppm(os.path.join(GOLDENS, "colonnade_bvh_falsecolor_64.ppm"), img,
+              flip_x=True)
+    print(f"blessed colonnade_bvh_falsecolor_64.ppm: mean u8 "
+          f"{img.astype(np.float64).mean():.1f}, "
+          f"steps={int(stats.steps)}")
+
+
 def main():
     cornell = procedural.to_scene(procedural.cornell_box())
 
@@ -62,5 +83,10 @@ def main():
           make_camera(width=128, height=128))
 
 
-if __name__ == "__main__":
+def _main_with_falsecolor():
     main()
+    bless_falsecolor()
+
+
+if __name__ == "__main__":
+    _main_with_falsecolor()
