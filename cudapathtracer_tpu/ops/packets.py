@@ -220,7 +220,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   tile_size: int = 256, max_clusters: int = 32,
                   engine: str = "xla", sort: bool = False,
                   rounds: int = 1, first_round_slots: int = 3,
-                  _need_out: bool = False):
+                  sort_window: int = 0, _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
     Semantics identical to ``traversal.trace`` / ``trace_bruteforce``:
@@ -265,7 +265,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             hi, need = trace_packets(
                 o, d, pd, fine_td=None, mask=m_cur, tile_size=tile_size,
                 max_clusters=min(budget, int(max_clusters)),
-                engine=engine, sort=sort, rounds=1, _need_out=True,
+                engine=engine, sort=sort, rounds=1,
+                sort_window=sort_window, _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
             acc_t = jnp.where(done, hi.t, acc_t)
@@ -275,6 +276,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         hf = trace_packets(
             o, d, pd, fine_td=fine_td, mask=m_cur, tile_size=tile_size,
             max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
+            sort_window=sort_window,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -298,12 +300,47 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         lo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
         hi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
         key = ray_sort_keys(o, d, mask, lo, hi)
-        perm = jnp.argsort(key)
         rows = jnp.stack(
             [o.x, o.y, o.z, d.x, d.y, d.z,
              mask.astype(jnp.float32), jnp.zeros_like(o.x)], axis=1
         )
-        rows = jnp.take(rows, perm, axis=0)
+
+        W = int(sort_window)
+        windowed = W > 0 and W % P == 0 and R > W
+        if windowed:
+            # WINDOWED sort: sort independent windows of W rays instead of
+            # all R at once. Sorting cost is superlinear in length (XLA's
+            # TPU sort is a bitonic-style network, O(n log^2 n)) and tile
+            # grouping only needs LOCAL coherence — rays that land in the
+            # same P-tile must be similar, but the order of tiles is
+            # irrelevant. The input is in pixel-Morton order, so a window
+            # covers a compact screen region whose bounce rays already
+            # share origin locality; sorting within it captures almost all
+            # of the key's tile-tightening power at a fraction of the sort
+            # cost. Results are bit-identical to the global sort: every
+            # (ray, triangle) test computes the same f32 everywhere, and
+            # the U-bound/fallback makes the hit exact under ANY grouping.
+            Rw = -(-R // W) * W
+            if Rw != R:
+                # pad lanes: masked (key already 0x7FFFFFFF for mask=False),
+                # unit direction, mask row 0.0
+                pad_row = jnp.tile(
+                    jnp.asarray([0, 0, 0, 1, 1, 1, 0, 0], jnp.float32)[None],
+                    (Rw - R, 1),
+                )
+                rows = jnp.concatenate([rows, pad_row], axis=0)
+                key = jnp.concatenate(
+                    [key, jnp.full((Rw - R,), 0x7FFFFFFF, jnp.int32)]
+                )
+            NW = Rw // W
+            perm = jnp.argsort(key.reshape(NW, W), axis=-1)      # (NW, W)
+            rows = jnp.take_along_axis(
+                rows.reshape(NW, W, 8), perm[..., None], axis=1
+            ).reshape(Rw, 8)
+        else:
+            perm = jnp.argsort(key)
+            rows = jnp.take(rows, perm, axis=0)
+
         out = trace_packets(
             Vec3(rows[:, 0], rows[:, 1], rows[:, 2]),
             Vec3(rows[:, 3], rows[:, 4], rows[:, 5]),
@@ -317,11 +354,19 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         # Results travel as int32 rows: bitcasting tri ids to f32 would
         # make them denormals, which the TPU flushes to zero in relayouts;
         # t >= 0 always, and positive f32 bitcast to i32 is lossless.
-        inv = jnp.argsort(perm)
         cols = [jax.lax.bitcast_convert_type(hit.t, jnp.int32), hit.tri]
         if _need_out:
             cols.append(need.astype(jnp.int32))
-        res = jnp.take(jnp.stack(cols, axis=1), inv, axis=0)
+        if windowed:
+            inv = jnp.argsort(perm, axis=-1)
+            ncol = len(cols)
+            res = jnp.take_along_axis(
+                jnp.stack(cols, axis=1).reshape(NW, W, ncol),
+                inv[..., None], axis=1,
+            ).reshape(Rw, ncol)[:R]
+        else:
+            inv = jnp.argsort(perm)
+            res = jnp.take(jnp.stack(cols, axis=1), inv, axis=0)
         hit = Hit(
             tri=res[:, 1],
             t=jax.lax.bitcast_convert_type(res[:, 0], jnp.float32),

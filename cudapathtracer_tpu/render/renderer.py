@@ -137,6 +137,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 engine=engine, sort=cfg.packet_sort,
                 rounds=rounds,
                 first_round_slots=cfg.packet_first_round,
+                sort_window=cfg.sort_window,
             )
 
         return with_spheres(trace_fn), td

@@ -59,6 +59,14 @@ class RenderConfig:
     #                                 separately tunable again.
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
     #                                 'pallas_interpret' (CPU debugging)
+    sort_window: int = 0            # ray-sort window length (0 = one global
+    #                                 sort). Windowed sorting trades a hair
+    #                                 of tile tightness for a much cheaper
+    #                                 sort (bitonic cost is superlinear and
+    #                                 windows parallelize); results are
+    #                                 bit-identical under any grouping
+    #                                 (ops/packets.py). Must be a multiple
+    #                                 of tile_size.
     # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)
     orthonormal_frame: bool = False
     light_normal_mode: str = "fixed"

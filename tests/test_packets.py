@@ -203,6 +203,35 @@ def test_pallas_resident_engine_interpret_matches_xla():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_windowed_sort_exact(setup):
+    """sort_window > 0 (windowed ray sorting) stays exact vs brute force —
+    any grouping is correct because each (ray, tri) test is position-
+    independent and the U-bound/fallback covers dropped clusters — incl.
+    with straggler rounds, masks, and R not a multiple of the window."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    for rounds in (1, 2):
+        hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                   max_clusters=8, sort=True,
+                                   rounds=rounds, first_round_slots=2,
+                                   sort_window=256)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+        np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+    R = o.x.shape[0]
+    mask = (jnp.arange(R) % 3) != 0
+    sl = slice(0, R - 100)  # R-100 = 924: not a multiple of the 256 window
+    o2 = Vec3(o.x[sl], o.y[sl], o.z[sl])
+    d2 = Vec3(d.x[sl], d.y[sl], d.z[sl])
+    m2 = mask[sl]
+    hb2 = traversal.trace_bruteforce(o2, d2, scene, mask=m2)
+    hp2 = packets.trace_packets(o2, d2, pd, fine_td=td, mask=m2,
+                                tile_size=64, max_clusters=8, sort=True,
+                                sort_window=256)
+    np.testing.assert_array_equal(np.asarray(hp2.tri), np.asarray(hb2.tri))
+    np.testing.assert_array_equal(np.asarray(hp2.t), np.asarray(hb2.t))
+
+
 def test_multi_round_splitting_exact(setup):
     """rounds=2 (straggler splitting) must stay exact vs brute force, with
     coherent, incoherent and masked batches."""
