@@ -14,8 +14,14 @@ Config follows BASELINE.md's target shape (sponza-scale scene at 1024^2);
 spp here is a measurement window, not a quality setting — throughput is
 flat across spp because every sample is the same program.
 
+The headline is the 20k-tri scene; the JSON also carries the SCALE SWEEP
+(``mrays_82k``, ``mrays_328k`` — colonnade subdiv 4/5) so the sponza-scale
+number (the baseline's 262k-tri class) is apples-to-apples visible
+(BASELINE.md's round tables are generated from these).
+
 Env knobs: BENCH_SPP (default 16), BENCH_SIZE (default 1024), BENCH_SUBDIV
-(colonnade sphere subdiv, default 3 => 20,884 tris; 4 => ~82k).
+(colonnade sphere subdiv, default 3 => 20,884 tris; 4 => ~82k; 5 => ~328k),
+BENCH_SWEEP=0 to skip the 82k/328k sweep.
 """
 
 import json
@@ -43,47 +49,53 @@ def main():
     # tighter tiles; 4M-element argsorts scale superlinearly)
     sbatch = int(os.environ.get("BENCH_SBATCH", "1"))
     with_bdpt = os.environ.get("BENCH_BDPT", "1") != "0"
-
-    desc = procedural.colonnade(subdiv=subdiv)
-    scene = procedural.to_scene(desc)
-    cfg = RenderConfig(width=size, height=size, spp=spp,
-                       integrator="pt_nee", samples_per_call=spp,
-                       sample_batch=sbatch,
-                       packet_rounds=int(os.environ.get("BENCH_ROUNDS", "2")),
-                       packet_first_round=int(
-                           os.environ.get("BENCH_FIRST", "2")),
-                       cluster_size=(int(os.environ["BENCH_C"])
-                                     if "BENCH_C" in os.environ else None),
-                       reuse_primary_hit=True)  # pinhole camera, no jitter
-    t0 = time.time()
-    bvh = build_bvh_for_scene(scene, cfg.leaf_size,
-                              cluster_size=cfg.cluster_size)
-    t_build = time.time() - t0
-    cam = make_camera(pos=(0.0, 2.0, 3.4), width=size, height=size,
-                      focal_length=2.0)
-    key = jax.random.PRNGKey(1234)
+    with_sweep = os.environ.get("BENCH_SWEEP", "1") != "0"
 
     import numpy as np
 
-    # warmup / compile — must use the SAME num_samples as the timed window
-    # (num_samples is a static jit arg; a different value recompiles) and a
-    # host readback to really synchronize (block_until_ready is unreliable
-    # through remote-TPU tunnels).
-    st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg), spp)
-    float(np.asarray(st.img.x[0]))
-
-    # timed window: spp samples; best of 3 (the remote-TPU tunnel's host
-    # readback latency is noisy — minutes-level outliers observed)
-    dt = float("inf")
-    for _ in range(3):
+    def measure(subdiv, spp, repeats=3):
+        """-> (Mrays/s, scene, bvh, build_s) for one colonnade scale."""
+        desc = procedural.colonnade(subdiv=subdiv)
+        scene = procedural.to_scene(desc)
+        cfg = RenderConfig(
+            width=size, height=size, spp=spp,
+            integrator="pt_nee", samples_per_call=spp,
+            sample_batch=sbatch,
+            packet_rounds=int(os.environ.get("BENCH_ROUNDS", "2")),
+            packet_first_round=int(os.environ.get("BENCH_FIRST", "2")),
+            sort_window=int(os.environ.get("BENCH_SORTWIN", "0")),
+            cluster_size=(int(os.environ["BENCH_C"])
+                          if "BENCH_C" in os.environ else None),
+            reuse_primary_hit=True)  # pinhole camera, no jitter
         t0 = time.time()
+        bvh = build_bvh_for_scene(scene, cfg.leaf_size,
+                                  cluster_size=cfg.cluster_size)
+        t_build = time.time() - t0
+        cam = make_camera(pos=(0.0, 2.0, 3.4), width=size, height=size,
+                          focal_length=2.0)
+        key = jax.random.PRNGKey(1234)
+
+        # warmup / compile — must use the SAME num_samples as the timed
+        # window (num_samples is a static jit arg; a different value
+        # recompiles) and a host readback to really synchronize
+        # (block_until_ready is unreliable through remote-TPU tunnels).
         st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg),
                               spp)
         float(np.asarray(st.img.x[0]))
-        dt = min(dt, time.time() - t0)
 
-    rays = cfg.num_pixels * spp * (cfg.num_bounces + 1)
-    mrays = rays / dt / 1e6
+        # timed window: spp samples; best of N (the remote-TPU tunnel's
+        # host readback latency is noisy — minutes-level outliers observed)
+        dt = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            st = render_batch_jit(scene, bvh, cam, cfg, key,
+                                  init_accum(cfg), spp)
+            float(np.asarray(st.img.x[0]))
+            dt = min(dt, time.time() - t0)
+        rays = cfg.num_pixels * spp * (cfg.num_bounces + 1)
+        return rays / dt / 1e6, scene, bvh, t_build, cfg, dt
+
+    mrays, scene, bvh, t_build, cfg, dt = measure(subdiv, spp)
     result = {
         "metric": "Mrays/s (colonnade %dk tris, %d^2, pt_nee, %d bounces)" % (
             scene.num_tris // 1000, size, cfg.num_bounces
@@ -92,6 +104,18 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
     }
+
+    if with_sweep:
+        # sponza-scale sweep: the baseline scene is 262k tris — report the
+        # 82k and 328k numbers so vs_baseline is apples-to-apples
+        for sub, name in ((4, "mrays_82k"), (5, "mrays_328k")):
+            if sub == subdiv:
+                result[name] = round(mrays, 2)
+                continue
+            mr, _, _, _, _, _ = measure(sub, max(4, spp // 2))
+            result[name] = round(mr, 2)
+        result["mrays_328k_vs_baseline"] = round(
+            result["mrays_328k"] / BASELINE_MRAYS, 3)
 
     if with_bdpt:
         # secondary metric: BDPT — the reference's LIVE integrator
@@ -105,6 +129,7 @@ def main():
                                    samples_per_call=bspp, sample_batch=1)
         bcam = make_camera(pos=(0.0, 2.0, 3.4), width=bsize, height=bsize,
                            focal_length=2.0)
+        key = jax.random.PRNGKey(1234)
         st = render_batch_jit(scene, bvh, bcam, bcfg, key,
                               init_accum(bcfg), bspp)
         float(np.asarray(st.img.x[0]))
