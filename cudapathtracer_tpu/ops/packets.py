@@ -220,7 +220,9 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   tile_size: int = 256, max_clusters: int = 32,
                   engine: str = "xla", sort: bool = False,
                   rounds: int = 1, first_round_slots: int = 3,
-                  sort_window: int = 0, _need_out: bool = False):
+                  sort_window: int = 0, two_level: bool | None = None,
+                  super_factor: int = 8, super_slots: int = 16,
+                  _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
     Semantics identical to ``traversal.trace`` / ``trace_bruteforce``:
@@ -266,7 +268,9 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 o, d, pd, fine_td=None, mask=m_cur, tile_size=tile_size,
                 max_clusters=min(budget, int(max_clusters)),
                 engine=engine, sort=sort, rounds=1,
-                sort_window=sort_window, _need_out=True,
+                sort_window=sort_window, two_level=two_level,
+                super_factor=super_factor, super_slots=super_slots,
+                _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
             acc_t = jnp.where(done, hi.t, acc_t)
@@ -276,7 +280,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         hf = trace_packets(
             o, d, pd, fine_td=fine_td, mask=m_cur, tile_size=tile_size,
             max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
-            sort_window=sort_window,
+            sort_window=sort_window, two_level=two_level,
+            super_factor=super_factor, super_slots=super_slots,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -346,7 +351,9 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             Vec3(rows[:, 3], rows[:, 4], rows[:, 5]),
             pd, fine_td=fine_td, mask=rows[:, 6] > 0.5,
             tile_size=tile_size, max_clusters=max_clusters,
-            engine=engine, sort=False, _need_out=_need_out,
+            engine=engine, sort=False, two_level=two_level,
+            super_factor=super_factor, super_slots=super_slots,
+            _need_out=_need_out,
         )
         hit, need = out if _need_out else (out, None)
         # un-sort with the inverse permutation (argsort of perm; a row
@@ -404,28 +411,120 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     dlo = Vec3(mins[:, 3], mins[:, 4], mins[:, 5])
     dhi = Vec3(maxs[:, 3], maxs[:, 4], maxs[:, 5])
 
-    cl_lo = Vec3(pd.cl_lo.x[None, :], pd.cl_lo.y[None, :], pd.cl_lo.z[None, :])
-    cl_hi = Vec3(pd.cl_hi.x[None, :], pd.cl_hi.y[None, :], pd.cl_hi.z[None, :])
-
-    hit, entry = tile_cull(olo, ohi, dlo, dhi, cl_lo, cl_hi)  # (Tl, K)
     any_lane = jnp.any(m, axis=1, keepdims=True)
     inf = jnp.float32(jnp.inf)
-    entry = jnp.where(hit & any_lane, entry, inf)
 
-    # ---- shortlist: M nearest candidates (entry-ascending) + dropped-
-    # candidate bound U ------------------------------------------------------
-    M = min(int(max_clusters), K)
-    if K > M:
-        negv, idxs = jax.lax.top_k(-entry, M + 1)
-        U = -negv[:, M]           # min entry among dropped candidates
-        negv = negv[:, :M]
-        idxs = idxs[:, :M]
+    F = int(super_factor)
+    Ms = min(int(super_slots), -(-K // F))
+    if two_level is None:
+        # auto: worth it once the flat cull's (Tl, K) interval tests and
+        # O(K) top_k clearly exceed the two-level path's
+        # (Tl, S) + (Tl, Ms*F) work — i.e. at sponza-class cluster counts
+        two_level = K >= 4 * Ms * F
+
+    if two_level and K > F:
+        # ---- level 1: supercluster cull -------------------------------
+        # Superclusters = F preorder-consecutive clusters (spatial
+        # neighbors by construction of the flat BVH), boxes merged on the
+        # fly (cheap: one (S, F) min/max reduce per axis per call).
+        S = -(-K // F)
+        KP = S * F
+
+        def padc(a, fill):
+            if KP == K:
+                return a
+            return jnp.concatenate([a, jnp.full((KP - K,), fill, a.dtype)])
+
+        # pad with inverted boxes: min over +inf / max over -inf is
+        # identity, and the padded CLUSTER slots cull to entry = inf below
+        clx0 = padc(pd.cl_lo.x, inf)
+        cly0 = padc(pd.cl_lo.y, inf)
+        clz0 = padc(pd.cl_lo.z, inf)
+        clx1 = padc(pd.cl_hi.x, -inf)
+        cly1 = padc(pd.cl_hi.y, -inf)
+        clz1 = padc(pd.cl_hi.z, -inf)
+        sup_lo = Vec3(clx0.reshape(S, F).min(1), cly0.reshape(S, F).min(1),
+                      clz0.reshape(S, F).min(1))
+        sup_hi = Vec3(clx1.reshape(S, F).max(1), cly1.reshape(S, F).max(1),
+                      clz1.reshape(S, F).max(1))
+        hit_s, entry_s = tile_cull(
+            olo, ohi, dlo, dhi,
+            Vec3(sup_lo.x[None, :], sup_lo.y[None, :], sup_lo.z[None, :]),
+            Vec3(sup_hi.x[None, :], sup_hi.y[None, :], sup_hi.z[None, :]),
+        )  # (Tl, S)
+        entry_s = jnp.where(hit_s & any_lane, entry_s, inf)
+        if S > Ms:
+            negs, sup_ids = jax.lax.top_k(-entry_s, Ms + 1)
+            # a dropped super's entry lower-bounds every member cluster's
+            # (its box contains theirs) — fold it into the U bound
+            U_s = -negs[:, Ms]
+            sup_ids = sup_ids[:, :Ms]
+            sup_ok = -negs[:, :Ms] < inf
+        else:
+            negs, sup_ids = jax.lax.top_k(-entry_s, Ms)
+            U_s = jnp.full((Tl,), inf)
+            sup_ok = -negs < inf
+
+        # ---- expand members + level 2: cluster cull -------------------
+        # Member boxes travel as (S, 6, F) ROW blocks — one row gather per
+        # tile-slot (~15 G elem/s) instead of Tl*Ms*F scalar gathers
+        # (~0.1 G elem/s).
+        box_rows = jnp.stack(
+            [clx0, cly0, clz0, clx1, cly1, clz1], axis=0
+        ).reshape(6, S, F).transpose(1, 0, 2)          # (S, 6, F)
+        cand = jnp.take(box_rows, sup_ids, axis=0)     # (Tl, Ms, 6, F)
+        cand = cand.reshape(Tl, Ms, 6, F)
+        bl = Vec3(cand[:, :, 0].reshape(Tl, Ms * F),
+                  cand[:, :, 1].reshape(Tl, Ms * F),
+                  cand[:, :, 2].reshape(Tl, Ms * F))
+        bh = Vec3(cand[:, :, 3].reshape(Tl, Ms * F),
+                  cand[:, :, 4].reshape(Tl, Ms * F),
+                  cand[:, :, 5].reshape(Tl, Ms * F))
+        cl_ids = (sup_ids[:, :, None] * F
+                  + jnp.arange(F, dtype=jnp.int32)[None, None, :]
+                  ).reshape(Tl, Ms * F)                # (Tl, Ms*F)
+        hit2, entry2 = tile_cull(olo, ohi, dlo, dhi, bl, bh)
+        valid2 = (hit2 & any_lane & (cl_ids < K)
+                  & jnp.repeat(sup_ok, F, axis=1))
+        entry = jnp.where(valid2, entry2, inf)         # (Tl, Ms*F)
+
+        M = min(int(max_clusters), Ms * F)
+        if Ms * F > M:
+            negv, idxs = jax.lax.top_k(-entry, M + 1)
+            U = jnp.minimum(U_s, -negv[:, M])
+            negv = negv[:, :M]
+            idxs = idxs[:, :M]
+        else:
+            negv, idxs = jax.lax.top_k(-entry, M)
+            U = U_s
+        entries = -negv
+        slot_ok = entries < inf
+        ids = jnp.where(
+            slot_ok, jnp.take_along_axis(cl_ids, idxs, axis=1), K
+        ).astype(jnp.int32)                            # K = sentinel row
     else:
-        negv, idxs = jax.lax.top_k(-entry, M)
-        U = jnp.full((Tl,), inf)
-    entries = -negv               # ascending (top_k of -entry)
-    slot_ok = entries < inf
-    ids = jnp.where(slot_ok, idxs, K).astype(jnp.int32)   # K = sentinel row
+        cl_lo = Vec3(pd.cl_lo.x[None, :], pd.cl_lo.y[None, :],
+                     pd.cl_lo.z[None, :])
+        cl_hi = Vec3(pd.cl_hi.x[None, :], pd.cl_hi.y[None, :],
+                     pd.cl_hi.z[None, :])
+
+        hit, entry = tile_cull(olo, ohi, dlo, dhi, cl_lo, cl_hi)  # (Tl, K)
+        entry = jnp.where(hit & any_lane, entry, inf)
+
+        # ---- shortlist: M nearest candidates (entry-ascending) + dropped-
+        # candidate bound U --------------------------------------------------
+        M = min(int(max_clusters), K)
+        if K > M:
+            negv, idxs = jax.lax.top_k(-entry, M + 1)
+            U = -negv[:, M]       # min entry among dropped candidates
+            negv = negv[:, :M]
+            idxs = idxs[:, :M]
+        else:
+            negv, idxs = jax.lax.top_k(-entry, M)
+            U = jnp.full((Tl,), inf)
+        entries = -negv           # ascending (top_k of -entry)
+        slot_ok = entries < inf
+        ids = jnp.where(slot_ok, idxs, K).astype(jnp.int32)  # K = sentinel
 
     # ---- dense per-slot intersection --------------------------------------
     T = pd.num_tris

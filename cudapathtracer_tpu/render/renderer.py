@@ -138,6 +138,9 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 rounds=rounds,
                 first_round_slots=cfg.packet_first_round,
                 sort_window=cfg.sort_window,
+                two_level=cfg.two_level_cull,
+                super_factor=cfg.super_factor,
+                super_slots=cfg.super_slots,
             )
 
         return with_spheres(trace_fn), td

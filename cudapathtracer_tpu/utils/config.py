@@ -59,6 +59,16 @@ class RenderConfig:
     #                                 separately tunable again.
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
     #                                 'pallas_interpret' (CPU debugging)
+    two_level_cull: bool | None = None  # hierarchical cull: frustum-test F
+    #                                 preorder-consecutive clusters merged
+    #                                 into superclusters first, expand only
+    #                                 the Ms nearest supers' members. Cuts
+    #                                 cull+top_k from O(K) to O(K/F + Ms*F)
+    #                                 per tile; dropped supers fold into the
+    #                                 U bound so exactness is unconditional.
+    #                                 None = auto (on at sponza-class K).
+    super_factor: int = 8           # clusters per supercluster (F)
+    super_slots: int = 16           # supercluster shortlist length (Ms)
     sort_window: int = 0            # ray-sort window length (0 = one global
     #                                 sort). Windowed sorting trades a hair
     #                                 of tile tightness for a much cheaper

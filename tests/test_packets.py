@@ -232,6 +232,36 @@ def test_windowed_sort_exact(setup):
     np.testing.assert_array_equal(np.asarray(hp2.t), np.asarray(hb2.t))
 
 
+def test_two_level_cull_exact(setup):
+    """Hierarchical supercluster culling stays exact vs brute force — the
+    dropped-super entries fold into the U bound, so rays whose shortlist
+    missed the true owner re-trace through the fine BVH. Forced on with
+    tiny super shortlists (heavy dropping), with/without rounds and with
+    incoherent rays."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    for ms, fr in ((2, 1), (4, 2)):
+        hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                   max_clusters=8, two_level=True,
+                                   super_factor=4, super_slots=ms,
+                                   rounds=fr, first_round_slots=2, sort=True)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+        np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+    k = jax.random.PRNGKey(11)
+    ko, kd = jax.random.split(k)
+    R = 512
+    o2 = Vec3.from_array(jax.random.uniform(ko, (R, 3), minval=0.0,
+                                            maxval=1.0))
+    d2 = Vec3.from_array(jax.random.normal(kd, (R, 3)) + 1e-3)
+    hb2 = traversal.trace_bruteforce(o2, d2, scene)
+    hp2 = packets.trace_packets(o2, d2, pd, fine_td=td, tile_size=128,
+                                max_clusters=16, two_level=True,
+                                super_factor=8, super_slots=3)
+    np.testing.assert_array_equal(np.asarray(hp2.tri), np.asarray(hb2.tri))
+    np.testing.assert_array_equal(np.asarray(hp2.t), np.asarray(hb2.t))
+
+
 def test_multi_round_splitting_exact(setup):
     """rounds=2 (straggler splitting) must stay exact vs brute force, with
     coherent, incoherent and masked batches."""
