@@ -61,8 +61,8 @@ def make_diff_trace_fn(scene: Scene, base_trace_fn):
     T = scene.num_tris
     S = scene.num_spheres
 
-    def diff_trace(o: Vec3, d: Vec3, mask) -> Hit:
-        hit = base_trace_fn(o, d, mask)
+    def diff_trace(o: Vec3, d: Vec3, mask, t_cap=None) -> Hit:
+        hit = base_trace_fn(o, d, mask, t_cap=t_cap)
         tri = jnp.maximum(hit.tri, 0)
         tric = jnp.minimum(tri, max(T - 1, 0))  # sphere ids out of range
         v0 = gather(scene.verts, jnp.take(scene.tri_v0, tric, mode="clip"))
@@ -104,8 +104,9 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
     from ..ops import traversal as trav
 
     if cfg.traversal == "brute":
-        def tri_trace(o, d, mask):
-            return trav.trace_bruteforce(o, d, scene, mask=mask)
+        def tri_trace(o, d, mask, t_cap=None):
+            h = trav.trace_bruteforce(o, d, scene, mask=mask)
+            return h if t_cap is None else trav.apply_t_cap(h, t_cap)
     else:
         td = trace_data
         if td is None:
@@ -114,13 +115,15 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
 
             td = trav.make_trace_data(scene, as_fine(bvh))
 
-        def tri_trace(o, d, mask):
-            return trav.trace(o, d, td, mask=mask)
+        def tri_trace(o, d, mask, t_cap=None):
+            h = trav.trace(o, d, td, mask=mask)
+            return h if t_cap is None else trav.apply_t_cap(h, t_cap)
 
     if scene.num_spheres > 0:
-        def base_trace(o, d, mask):
-            h = tri_trace(o, d, mask)
-            return trav.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
+        def base_trace(o, d, mask, t_cap=None):
+            h = tri_trace(o, d, mask, t_cap=t_cap)
+            h = trav.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
+            return h if t_cap is None else trav.apply_t_cap(h, t_cap)
     else:
         base_trace = tri_trace
 

@@ -228,8 +228,16 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
                     jnp.concatenate([v.y for v in vs]),
                     jnp.concatenate([v.z for v in vs]))
 
+    # visibility queries: the decision is |t - len| <= EPS_VISIBILITY
+    # (kernel.cu:402-405), so hits beyond len + 2*eps are irrelevant — a
+    # per-ray t_cap lets the packet kernels' early exit stop as soon as
+    # candidate entries pass the cap (and skips the overflow fallback for
+    # beyond-cap stragglers). The visibility bool — and hence radiance —
+    # is bit-identical to the uncapped trace.
+    seg_cat = jnp.concatenate([c[3] for c in conns])
     sh = trace_fn(_catn([c[1] for c in conns]), _catn([c[2] for c in conns]),
-                  jnp.concatenate([c[4] for c in conns]))
+                  jnp.concatenate([c[4] for c in conns]),
+                  t_cap=seg_cat + 2.0 * EPS_VISIBILITY)
 
     for ci, (weight, _, _, seg_len, bright) in enumerate(conns):
         sh_t = sh.t[ci * R:(ci + 1) * R]

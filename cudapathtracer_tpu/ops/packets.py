@@ -222,7 +222,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   rounds: int = 1, first_round_slots: int = 3,
                   sort_window: int = 0, two_level: bool | None = None,
                   super_factor: int = 8, super_slots: int = 16,
-                  _need_out: bool = False):
+                  t_cap=None, _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
     Semantics identical to ``traversal.trace`` / ``trace_bruteforce``:
@@ -237,6 +237,14 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     'pallas_interpret' (same kernel in interpreter mode, for CPU tests).
     The engines agree on the chosen triangle everywhere and on t to ULP
     (Mosaic vs XLA FMA contraction).
+
+    ``t_cap``: optional (R,) f32 per-ray search cap. Hits with t >= cap are
+    reported as a MISS (MAX_FLOAT/-1); hits below it are exact. For
+    visibility-style queries (BDPT shadow connections: the decision is
+    |t - len| <= eps, kernel.cu:402-405) a cap of len + 2*eps yields the
+    identical decision while letting the Mosaic kernels' early exit fire
+    as soon as candidate entries pass the cap, and skipping the fine-BVH
+    fallback for rays whose dropped candidates all lie beyond it.
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
@@ -270,7 +278,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 engine=engine, sort=sort, rounds=1,
                 sort_window=sort_window, two_level=two_level,
                 super_factor=super_factor, super_slots=super_slots,
-                _need_out=True,
+                t_cap=t_cap, _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
             acc_t = jnp.where(done, hi.t, acc_t)
@@ -282,6 +290,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
             sort_window=sort_window, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
+            t_cap=t_cap,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -305,9 +314,13 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         lo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
         hi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
         key = ray_sort_keys(o, d, mask, lo, hi)
+        # column 7 carries the per-ray search cap through the permutation
+        # (+inf when uncapped — the inner call then ignores it)
+        cap_col = (jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32), o.x.shape)
+                   if t_cap is not None else jnp.zeros_like(o.x))
         rows = jnp.stack(
             [o.x, o.y, o.z, d.x, d.y, d.z,
-             mask.astype(jnp.float32), jnp.zeros_like(o.x)], axis=1
+             mask.astype(jnp.float32), cap_col], axis=1
         )
 
         W = int(sort_window)
@@ -353,6 +366,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             tile_size=tile_size, max_clusters=max_clusters,
             engine=engine, sort=False, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
+            t_cap=rows[:, 7] if t_cap is not None else None,
             _need_out=_need_out,
         )
         hit, need = out if _need_out else (out, None)
@@ -556,13 +570,19 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
 
         slo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
         shi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
-        t_cap = jnp.maximum(0.0, jnp.minimum(
+        cap_row = jnp.maximum(0.0, jnp.minimum(
             jnp.minimum(axis_exit(ox, dx, slo.x, shi.x),
                         axis_exit(oy, dy, slo.y, shi.y)),
             axis_exit(oz, dz, slo.z, shi.z))) * 1.0001 + 1e-4
+        if t_cap is not None:
+            # caller cap (visibility queries): tighter of the two. The fold
+            # never finds t >= the init, so capped hits report as miss.
+            cap_row = jnp.minimum(
+                cap_row, padv(jnp.asarray(t_cap, jnp.float32),
+                              jnp.inf).reshape(Tl, P))
 
         rays = jnp.stack(
-            [ox, oy, oz, dx, dy, dz, mrow, t_cap], axis=1
+            [ox, oy, oz, dx, dy, dz, mrow, cap_row], axis=1
         )  # (Tl, 8, P): rays + lane mask (masked lanes must not block the
         #    kernel's early exit) + search cap; lane-dim P keeps it unpadded
         if C % 128 == 0 and resident_fits(K, C):
@@ -579,7 +599,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 interpret=interpret,
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-                       need_out=_need_out)
+                       t_cap=t_cap, need_out=_need_out)
 
     o_b = Vec3(ox[:, :, None], oy[:, :, None], oz[:, :, None])
     d_b = Vec3(dx[:, :, None], dy[:, :, None], dz[:, :, None])
@@ -616,12 +636,12 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     )
     (t_best, tri_best), _ = jax.lax.scan(slot, init, ids.T)
     return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-                   need_out=_need_out)
+                   t_cap=t_cap, need_out=_need_out)
 
 
 def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-            need_out: bool = False):
-    """Trim padding, apply the lane mask and the overflow fallback.
+            t_cap=None, need_out: bool = False):
+    """Trim padding, apply the lane mask, the t-cap, and the fallback.
 
     ``need_out=True`` skips the fallback and instead returns the mask of
     rays whose result could still be beaten by a dropped candidate (the
@@ -636,10 +656,23 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
     u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
     # >= (not >): when the best hit t EQUALS a dropped cluster's conservative
     # entry, an equal-t triangle with a lower index could live in that
-    # cluster, and the lower-index tie-break contract requires checking it
-    need_fb = mask & (t_flat >= u_ray)
+    # cluster, and the lower-index tie-break contract requires checking it.
+    # With a caller t_cap the comparison uses min(t, cap): dropped clusters
+    # whose entry is at/beyond the cap can only hold hits the capped query
+    # reports as miss anyway — no fallback needed for those rays.
+    t_eff = t_flat if t_cap is None else \
+        jnp.minimum(t_flat, jnp.asarray(t_cap, jnp.float32))
+    need_fb = mask & (t_eff >= u_ray)
+
+    def _apply_cap(t_f, tri_f):
+        if t_cap is None:
+            return t_f, tri_f
+        beyond = t_f >= jnp.asarray(t_cap, jnp.float32)
+        return (jnp.where(beyond, MAX_FLOAT, t_f),
+                jnp.where(beyond, -1, tri_f))
 
     if need_out:
+        t_flat, tri_flat = _apply_cap(t_flat, tri_flat)
         return Hit(tri=tri_flat, t=t_flat), need_fb
 
     # ---- overflow fallback (unconditional correctness) ---------------------
@@ -648,4 +681,5 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
         t_flat = jnp.where(need_fb, fb.t, t_flat)
         tri_flat = jnp.where(need_fb, fb.tri, tri_flat)
 
+    t_flat, tri_flat = _apply_cap(t_flat, tri_flat)
     return Hit(tri=tri_flat, t=t_flat)

@@ -338,6 +338,16 @@ def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
     return Hit(tri=tri_best, t=t_best)
 
 
+def apply_t_cap(hit: Hit, t_cap) -> Hit:
+    """Capped-query contract (see ops/packets.trace_packets ``t_cap``):
+    hits with t >= cap report as the canonical miss (MAX_FLOAT, -1). Used
+    to give the fine/brute engines the identical semantics the packet
+    engine implements natively via its fold-init cap."""
+    beyond = hit.t >= jnp.asarray(t_cap, jnp.float32)
+    return Hit(tri=jnp.where(beyond, -1, hit.tri),
+               t=jnp.where(beyond, MAX_FLOAT, hit.t))
+
+
 def trace_spheres(o: Vec3, d: Vec3, scene, t_best, id_best, mask=None):
     """Fold the sphere block into a hit result: sphere s reports hit id
     = num_tris + s. Brute force over S spheres (S is small; the reference's

@@ -90,16 +90,18 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
         if scene.num_spheres == 0:
             return base
 
-        def fn(o, d, mask):
-            h = base(o, d, mask)
-            return traversal.trace_spheres(o, d, scene, h.t, h.tri,
-                                           mask=mask)
+        def fn(o, d, mask, t_cap=None):
+            h = base(o, d, mask, t_cap=t_cap)
+            h = traversal.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
+            # sphere hits beyond the cap must honor the capped contract too
+            return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
 
         return fn
 
     if cfg.traversal == "brute":
-        def trace_fn(o, d, mask):
-            return traversal.trace_bruteforce(o, d, scene, mask=mask)
+        def trace_fn(o, d, mask, t_cap=None):
+            h = traversal.trace_bruteforce(o, d, scene, mask=mask)
+            return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
 
         return with_spheres(trace_fn), None
 
@@ -130,7 +132,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
         rounds = (cfg.packet_rounds if cfg.integrator == "pt_nee"
                   else cfg.packet_rounds_bdpt)
 
-        def trace_fn(o, d, mask):
+        def trace_fn(o, d, mask, t_cap=None):
             return packets.trace_packets(
                 o, d, pdata, fine_td=td, mask=mask,
                 tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
@@ -141,12 +143,14 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 two_level=cfg.two_level_cull,
                 super_factor=cfg.super_factor,
                 super_slots=cfg.super_slots,
+                t_cap=t_cap,
             )
 
         return with_spheres(trace_fn), td
 
-    def trace_fn(o, d, mask):
-        return traversal.trace(o, d, td, mask=mask)
+    def trace_fn(o, d, mask, t_cap=None):
+        h = traversal.trace(o, d, td, mask=mask)
+        return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
 
     return with_spheres(trace_fn), td
 

@@ -262,6 +262,28 @@ def test_two_level_cull_exact(setup):
     np.testing.assert_array_equal(np.asarray(hp2.t), np.asarray(hb2.t))
 
 
+def test_t_cap_exact(setup):
+    """Capped queries (t_cap): hits below the cap are exact, hits at/beyond
+    it report as the canonical miss — matching apply_t_cap over the brute
+    oracle, across engines, rounds and the fallback path."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    # caps straddling the real hit distances: some rays capped out, some not
+    R = o.x.shape[0]
+    caps = jnp.where(jnp.arange(R) % 2 == 0, 1.5,
+                     jnp.asarray(hb.t))  # half at a fixed 1.5, half AT t
+    ref = traversal.apply_t_cap(hb, caps)
+    for kw in (dict(), dict(rounds=2, first_round_slots=2, sort=True),
+               dict(max_clusters=1),           # heavy fallback
+               dict(engine="pallas_interpret"),
+               dict(two_level=True, super_factor=4, super_slots=3)):
+        hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                   max_clusters=kw.pop("max_clusters", 8),
+                                   t_cap=caps, **kw)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(ref.tri))
+        np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(ref.t))
+
+
 def test_multi_round_splitting_exact(setup):
     """rounds=2 (straggler splitting) must stay exact vs brute force, with
     coherent, incoherent and masked batches."""
