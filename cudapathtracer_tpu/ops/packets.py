@@ -550,6 +550,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
 
         from .pallas.dense_resident import (
             dense_intersect_resident,
+            pack_cluster_boxes,
             pack_clusters_resident,
             resident_fits,
         )
@@ -589,7 +590,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             # whole scene pinned in VMEM: every slot is pure VPU work
             t_best, tri_best = dense_intersect_resident(
                 ids, counts, entries, rays, pack_clusters_resident(pd),
-                pd.num_tris, interpret=interpret,
+                pack_cluster_boxes(pd), pd.num_tris, interpret=interpret,
             )
         else:
             from .pallas.dense import dense_intersect, pack_clusters

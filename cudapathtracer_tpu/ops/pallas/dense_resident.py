@@ -44,11 +44,35 @@ def resident_fits(num_clusters: int, cluster_size: int) -> bool:
         <= RESIDENT_VMEM_BUDGET
 
 
+def pack_cluster_boxes(pd) -> jnp.ndarray:
+    """PacketData -> (K+1, 8) f32 cluster AABBs [lo.xyz, hi.xyz, 0, 0].
+
+    Rides the kernel's scalar-prefetch path into SMEM: the box gate reads
+    6 SCALARS per slot instead of slicing 6 broadcast rows out of the VMEM
+    block — the (16, C) cluster slice then only happens inside the gated
+    fold branch, so a gated-out slot touches no VMEM at all. The sentinel
+    row (K) is a degenerate far-away point box (all coords 1e7, beyond any
+    search cap) so it can never pass a gate."""
+    far = jnp.full((1,), 1.0e7, jnp.float32)
+
+    def col(v):
+        return jnp.concatenate([v.astype(jnp.float32), far])[:, None]
+
+    z = jnp.zeros_like(col(pd.cl_lo.x))
+    return jnp.concatenate(
+        [col(pd.cl_lo.x), col(pd.cl_lo.y), col(pd.cl_lo.z),
+         col(pd.cl_hi.x), col(pd.cl_hi.y), col(pd.cl_hi.z), z, z], axis=1)
+
+
 def pack_clusters_resident(pd) -> jnp.ndarray:
     """PacketData -> (K+1, 16, C) f32 resident cluster blocks.
 
     Attribute ROWS (v0/e1/e2 xyz, ids as id+2^23 exact floats, cluster box),
-    triangles along LANES. C must be a multiple of 128 (lane tiling)."""
+    triangles along LANES. C must be a multiple of 128 (lane tiling).
+    Rows 10-15 (the broadcast box) are no longer read by the kernel (boxes
+    ride SMEM via pack_cluster_boxes) but stay in the layout: the (8, 128)
+    sublane tiling pads 10 rows to 16 anyway, so dropping them saves no
+    VMEM and would churn every consumer."""
     K1, C = pd.tri.shape
     assert C % 128 == 0, f"resident layout needs C % 128 == 0, got {C}"
     ids_f = pd.tri.astype(jnp.float32) + _ID_OFFSET
@@ -126,24 +150,21 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     return t_out, id_out
 
 
-def _box_any_hit_pc(cl, ox, oy, oz, idx, idy, idz, t_best):
-    """Does any LIVE ray enter this cluster's AABB within its current
-    [0, t_best] interval? ~25 (P, 1) VPU ops vs the ~45*(P, C) fold —
-    the cheap gate that lets straggler tiles (few live lanes, long
-    shortlists) skip most folds. Masked lanes carry t_best = -3e38 and
-    never pass. Box rows 10-15 of the resident block (pack_clusters)."""
-    blox = cl[10:11, 0:1]
-    bloy = cl[11:12, 0:1]
-    bloz = cl[12:13, 0:1]
-    bhix = cl[13:14, 0:1]
-    bhiy = cl[14:15, 0:1]
-    bhiz = cl[15:16, 0:1]
-    tx0 = (blox - ox) * idx
-    tx1 = (bhix - ox) * idx
-    ty0 = (bloy - oy) * idy
-    ty1 = (bhiy - oy) * idy
-    tz0 = (bloz - oz) * idz
-    tz1 = (bhiz - oz) * idz
+def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
+    """Does each ray enter this cluster's AABB within its current
+    [0, t_best] interval? ROW layout: rays along LANES ((1, P) slices of
+    the incoming (8, P) tile), box bounds as 6 SMEM SCALARS — ~25 ops on
+    (1, P) blocks is 2 vregs per op at P=256, 16x cheaper than the same
+    math on (P, 1) columns. Masked lanes carry t_row = -3e38 and never
+    pass. Conservative vs the fold's tie-break contract: a hit with
+    t == t_best has box entry tmin <= t <= t_best (non-strict compare)."""
+    blox, bloy, bloz, bhix, bhiy, bhiz = box6
+    tx0 = (blox - oxr) * idx
+    tx1 = (bhix - oxr) * idx
+    ty0 = (bloy - oyr) * idy
+    ty1 = (bhiy - oyr) * idy
+    tz0 = (bloz - ozr) * idz
+    tz1 = (bhiz - ozr) * idz
     tmin = jnp.maximum(
         jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
         jnp.minimum(tz0, tz1),
@@ -152,8 +173,7 @@ def _box_any_hit_pc(cl, ox, oy, oz, idx, idy, idz, t_best):
         jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
         jnp.maximum(tz0, tz1),
     )
-    hit = (tmin <= tmax) & (tmax >= 0.0) & (tmin <= t_best)
-    return jnp.any(hit)
+    return (tmin <= tmax) & (tmax >= 0.0) & (tmin <= t_row)  # (1, P)
 
 
 # slots folded per while iteration: amortizes the scalar sync (jnp.max ->
@@ -163,11 +183,10 @@ def _box_any_hit_pc(cl, ox, oy, oz, idx, idy, idz, t_best):
 
 
 def _make_kernel(unroll):
-    def _kernel(meta_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
+    def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
         i = pl.program_id(0)
         num_tris = meta_ref[0]
-        sentinel = meta_ref[1]  # K: the all-degenerate resident row
         P = rays_ref.shape[2]
         G = _TILE_GROUP
         W = slid.shape[1]
@@ -186,8 +205,10 @@ def _make_kernel(unroll):
             # rays arrive (8, P) — lane-dim P so the HBM array is unpadded
             # ((Tl, P, 8) would be lane-padded 16x by the (8,128) tiling, which
             # at 2048^2 alone exceeded HBM); one small transpose per tile gives
-            # the (P, 1) columns the math wants
-            tile = jnp.transpose(rays_ref[pl.ds(g, 1)].reshape(8, P))  # (P, 8)
+            # the (P, 1) columns the FOLD wants. The GATE works on the (1, P)
+            # rows directly — no transpose and 2 vregs per op.
+            row = rays_ref[pl.ds(g, 1)].reshape(8, P)     # (8, P)
+            tile = jnp.transpose(row)                     # (P, 8)
             ox = tile[:, 0:1]
             oy = tile[:, 1:2]
             oz = tile[:, 2:3]
@@ -214,27 +235,55 @@ def _make_kernel(unroll):
                 return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
                                        jnp.where(d_ < 0, -1e-30, 1e-30), d_)
 
-            idx_ = _inv(dx)
-            idy_ = _inv(dy)
-            idz_ = _inv(dz)
+            oxr = row[0:1, :]
+            oyr = row[1:2, :]
+            ozr = row[2:3, :]
+            idxr = _inv(row[3:4, :])
+            idyr = _inv(row[4:5, :])
+            idzr = _inv(row[5:6, :])
+
+            iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
+            pow2_u = jnp.exp2(iota_u.astype(jnp.float32))   # (unroll, 1)
 
             def make_body(unroll):
                 def body(carry):
                     s, done, t_best, id_best = carry
-                    # straight-line slots; tail slots read the sentinel row
-                    # (degenerate triangles) instead of branching
+                    # Phase 1 — gate ALL unroll slots against the group-start
+                    # t_best (it only shrinks, so this is conservative) and
+                    # pack the per-slot any-live-lane verdicts into ONE
+                    # scalar bitmask: one vector->scalar sync per group
+                    # instead of one per slot.
+                    t_row = jnp.transpose(t_best)          # (1, P)
+                    sids = []
+                    hits = []
                     for u in range(unroll):
                         su = s + u
-                        sid = jnp.where(su < cnt,
-                                        slid[g, jnp.minimum(1 + su, W - 1)],
-                                        sentinel)
-                        cl = cl_ref[sid]               # (16, C), VMEM slice
-                        plausible = _box_any_hit_pc(
-                            cl, ox, oy, oz, idx_, idy_, idz_, t_best)
+                        sid = slid[g, jnp.minimum(1 + su, W - 1)]
+                        sids.append(sid)
+                        box6 = tuple(boxes_ref[sid, j] for j in range(6))
+                        hits.append(_box_hit_row(
+                            box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row))
+                    hit_u = jnp.concatenate(hits, axis=0)  # (unroll, P)
+                    in_range = (s + iota_u) < cnt          # (unroll, 1)
+                    wt = jnp.where(hit_u & in_range, pow2_u, 0.0)
+                    bits = jnp.sum(
+                        jnp.max(wt, axis=1, keepdims=True)
+                    ).astype(jnp.int32)                    # scalar sync
+
+                    # Phase 2 — fold only the slots whose bit survived; the
+                    # (16, C) VMEM slice happens INSIDE the branch, so a
+                    # gated-out slot reads nothing.
+                    for u in range(unroll):
+                        sid = sids[u]
+
+                        def do_fold(tb, ib, sid=sid):
+                            cl = cl_ref[sid]           # (16, C), VMEM slice
+                            return _mt_fold_pc(
+                                cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
+
                         t_best, id_best = jax.lax.cond(
-                            plausible,
-                            lambda tb, ib: _mt_fold_pc(
-                                cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris),
+                            (bits & (1 << u)) != 0,
+                            do_fold,
                             lambda tb, ib: (tb, ib),
                             t_best, id_best,
                         )
@@ -270,7 +319,7 @@ def _make_kernel(unroll):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
-def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
+def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
                              unroll: int | None = None):
     """VMEM-resident dense intersection.
@@ -279,6 +328,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
     rays:      (Tl, 8, P) f32 — rows o.xyz / d.xyz / lane-mask / exit-cap
                (lane-dim P: an unpadded HBM layout — see the kernel note)
     cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!)
+    boxes:     (K+1, 8) f32 from pack_cluster_boxes (SMEM, scalar gates)
 
     Returns (t (Tl, P) f32, tri (Tl, P) i32).
     """
@@ -310,7 +360,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
             [rays, jnp.zeros((Tp - Tl, NR, P), rays.dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,   # meta + cluster boxes (both SMEM)
         grid=(Tp // G,),
         in_specs=[
             pl.BlockSpec((G, NR, P), lambda i, *_: (i, 0, 0),
@@ -332,7 +382,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,
-    )(meta, rays, cl_packed, slid, slent)
+    )(meta, boxes, rays, cl_packed, slid, slent)
     t = out[:Tl, 0, :]
     tri = (out[:Tl, 1, :] - _ID_OFFSET).astype(jnp.int32)
     return t, tri

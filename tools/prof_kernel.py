@@ -18,6 +18,7 @@ from cudapathtracer_tpu.models import procedural
 from cudapathtracer_tpu.ops import packets
 from cudapathtracer_tpu.ops.pallas.dense_resident import (
     dense_intersect_resident,
+    pack_cluster_boxes,
     pack_clusters_resident,
 )
 from cudapathtracer_tpu.ops.vecmath import Vec3
@@ -58,6 +59,7 @@ def main():
     K, C = pdata.num_clusters, pdata.cluster_size
     print(f"K={K} C={C} Tl={Tl} P={P}", flush=True)
     cl_packed = jax.block_until_ready(pack_clusters_resident(pdata))
+    boxes = jax.block_until_ready(pack_cluster_boxes(pdata))
 
     key = jax.random.PRNGKey(0)
     rays = jax.random.normal(key, (Tl, 8, P), jnp.float32)
@@ -72,7 +74,7 @@ def main():
         entries = jnp.zeros((Tl, M), jnp.float32)  # never early-exits
         timed(f"counts={c:3d} (no early exit)",
               lambda i_, c_, e_, r_: dense_intersect_resident(
-                  i_, c_, e_, r_, cl_packed, pdata.num_tris),
+                  i_, c_, e_, r_, cl_packed, boxes, pdata.num_tris),
               ids, counts, entries, rays, iters=4)
 
 
