@@ -593,11 +593,11 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 pack_cluster_boxes(pd), pd.num_tris, interpret=interpret,
             )
         else:
-            from .pallas.dense import dense_intersect, pack_clusters
+            from .pallas.dense import dense_intersect
 
             t_best, tri_best = dense_intersect(
-                ids, counts, entries, rays, pack_clusters(pd), pd.num_tris,
-                interpret=interpret,
+                ids, counts, entries, rays, pack_clusters_resident(pd),
+                pack_cluster_boxes(pd), pd.num_tris, interpret=interpret,
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
                        t_cap=t_cap, need_out=_need_out)

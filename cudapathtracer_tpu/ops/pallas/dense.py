@@ -1,41 +1,36 @@
-"""Pallas TPU kernel: dense per-tile cluster intersection.
+"""Pallas TPU kernel: dense per-tile cluster intersection, DMA-pipelined.
 
-This is the hot inner loop of packet traversal (ops/packets.py) moved into
-a hand-written kernel. The pure-XLA slot scan has three structural costs the
-kernel removes:
+The variant of ops/pallas/dense_resident.py for scenes whose packed
+cluster array does NOT fit in VMEM (resident_fits False): cluster blocks
+stream HBM -> VMEM through a small ring buffer. Everything else — the
+(K+1, 16, C) packing, the SMEM scalar box gates in ray-ROW layout, the
+one-packed-bitmask sync per unroll group, the entry-sorted early exit,
+the fold — is shared with (imported from) the resident kernel.
 
-1. **Lockstep slots** — XLA's ``lax.scan`` over shortlist slots makes every
-   tile pay for the *longest* shortlist. Here each tile runs a
-   ``while_loop`` over its OWN candidate list.
-2. **No early exit** — the shortlist arrives sorted by conservative entry
-   distance, so the tile stops as soon as every ray's current best hit is
-   closer than the next cluster could possibly be. A primary-ray tile with
-   100 candidates typically folds 2-5 clusters and leaves.
-3. **HBM intermediates** — the (tiles, P, C) Moller-Trumbore candidate
-   tensor never exists: each (C, P) block lives in VMEM/registers and is
-   folded into the running (1, P) closest-hit immediately.
+What the gate-before-DMA structure buys over the previous design (which
+packed boxes INSIDE (C, 128) lane-padded blocks and had to DMA every
+candidate before it could gate it):
 
-Each candidate additionally gets a per-tile **box pre-test** (the cluster
-AABB rides inside its packed block): ~20 VPU ops against the full (C, P)
-Moller-Trumbore sweep, so clusters that no ray in the tile can touch cost
-only their (overlapped) DMA.
+1. **8x less DMA traffic** — the old (C, 128) block carried 16 useful
+   lanes of 128 (512 KB per cluster at C=1024, 64 KB payload); the
+   (16, C) resident layout is unpadded.
+2. **Gated-out slots cost no DMA at all** — boxes ride scalar-prefetch
+   SMEM, so the ~25-op row gate runs BEFORE the fetch. Straggler tiles
+   with long shortlists and few live lanes skip both the fetch and the
+   fold.
+3. **One vector->scalar sync per unroll group** instead of two per slot.
 
-Cluster triangle blocks are DMA'd from HBM on demand, double-buffered so
-the DMA of slot s+1 overlaps the intersection math of slot s. Shortlists
-are staged per tile-group from HBM into SMEM scratch (they are too large
-for the scalar-prefetch channel at scale).
+Within a group all gated-in fetches are started together (ring slots
+assigned by live-prefix popcount) and folded in arrival order, so the
+fold of slot 0 hides the latency of slots 1..3; only the first wait of a
+group can stall. All group DMAs complete within the group, so no drain
+loop and no cross-group buffer hazards exist.
 
-Data layout (built by ``pack_clusters``): one cluster = a contiguous
-(C, 128) f32 block — triangles along sublanes; lanes 0-8 = v0/e1/e2 xyz,
-lane 9 = triangle ids (bitcast), lanes 10-15 = the cluster AABB
-(lo.xyz/hi.xyz, replicated down the sublanes). Rays are (6, P) per tile:
-o.xyz/d.xyz rows, rays along lanes.
-
-Intersection semantics are identical to ops/intersect.ray_triangle and the
-closest-fold to ops/traversal._closest_update (same formulas — but Mosaic
-may fuse multiplies differently than XLA, so cross-engine agreement is
-ULP-level on t; the integration layer treats this engine and the XLA slot
-scan as interchangeable).
+Intersection semantics are identical to ops/intersect.ray_triangle and
+the closest-fold to ops/traversal._closest_update (same formulas — but
+Mosaic may fuse multiplies differently than XLA, so cross-engine
+agreement is ULP-level on t; the integration layer treats this engine
+and the XLA slot scan as interchangeable).
 """
 
 from __future__ import annotations
@@ -47,275 +42,186 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...utils.constants import EPS_PARALLEL, MAX_FLOAT
+from ...utils.constants import MAX_FLOAT
+from .dense_resident import (  # shared layout + math + constants
+    _ID_OFFSET,
+    _MASKED_T_INIT,
+    _TILE_GROUP,
+    _TRI_SENTINEL,
+    MAX_SHORTLIST,
+    MAX_TRIS,
+    _box_hit_row,
+    _mt_fold_pc,
+    pack_cluster_boxes,
+    pack_clusters_resident,
+)
 
-# plain int, not jnp.int32: a module-level jnp constant would be captured
-# by the kernel as a traced constant, which pallas_call rejects
-_TRI_SENTINEL = 0x7FFFFFFF
-_LANES = 128       # Mosaic DMA slices must be lane-aligned
-_TILE_GROUP = 8    # tiles per grid step (sublane-divisibility of blocks)
-_NBUF = 4          # cluster DMA pipeline depth
-MAX_SHORTLIST = 4095  # shortlist cap; SMEM row width adapts to the
-#                       actual M (multiples of 128 lanes)
-_ID_OFFSET = float(1 << 23)  # exact-integer float window for triangle ids
-MAX_TRIS = (1 << 23) - 2     # ids (incl. the pad id T) must stay exact
-_MASKED_T_INIT = -3.0e38  # masked lanes start below any real t so they
-#                           never update and never block the early exit
+_NBUF = 4  # ring depth == unroll: a group's live slots all fit in flight
 
+# re-exported for callers that treat this module as the packing authority
+pack_clusters = pack_clusters_resident
 
-def pack_clusters(pd) -> jnp.ndarray:
-    """PacketData -> (K+1, C, 128) f32 contiguous cluster blocks.
-
-    Triangles along the sublane axis; lanes 0-9 = v0/e1/e2 xyz + ids,
-    lanes 10-15 = cluster AABB (broadcast down sublanes). Lane-padded to
-    128 so the per-cluster DMA slice (1, C, 128) is aligned. The 8x padding
-    costs HBM capacity only (32 KB/cluster at C=64); DMA time is still
-    ~45 ns/cluster at HBM bandwidth."""
-    # Transport ids as exact float VALUES (id + 2^23), not bitcasts: small
-    # ids bitcast to f32 are denormals, and the TPU flushes denormals to
-    # zero whenever a relayout/copy touches them. f32 holds integers up to
-    # 2^24 exactly, so ids < 2^23 survive the +2^23 offset losslessly.
-    K1, C = pd.tri.shape
-    ids_f = (pd.tri.astype(jnp.float32) + _ID_OFFSET)
-
-    def rep(v):  # (K,) -> (K+1, C) with a zero sentinel row
-        v = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
-        return jnp.broadcast_to(v[:, None], (K1, C))
-
-    packed = jnp.stack(
-        [pd.v0.x, pd.v0.y, pd.v0.z,
-         pd.e1.x, pd.e1.y, pd.e1.z,
-         pd.e2.x, pd.e2.y, pd.e2.z,
-         ids_f,
-         rep(pd.cl_lo.x), rep(pd.cl_lo.y), rep(pd.cl_lo.z),
-         rep(pd.cl_hi.x), rep(pd.cl_hi.y), rep(pd.cl_hi.z)], axis=2
-    )  # (K+1, C, 15)
-    A = packed.shape[2]
-    return jnp.concatenate(
-        [packed, jnp.zeros((K1, C, _LANES - A), jnp.float32)], axis=2
-    )
+__all__ = [
+    "dense_intersect", "pack_clusters", "pack_cluster_boxes",
+    "MAX_SHORTLIST", "MAX_TRIS",
+]
 
 
-def _mt_fold(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
-    """One cluster block (C, 128) against one ray tile (1, P) -> fold into
-    the running closest hit ((1, P) f32, (1, P) i32)."""
-    v0x = cl[:, 0:1]
-    v0y = cl[:, 1:2]
-    v0z = cl[:, 2:3]
-    e1x = cl[:, 3:4]
-    e1y = cl[:, 4:5]
-    e1z = cl[:, 5:6]
-    e2x = cl[:, 6:7]
-    e2y = cl[:, 7:8]
-    e2z = cl[:, 8:9]
-    tid = (cl[:, 9:10] - _ID_OFFSET).astype(jnp.int32)
+def _make_kernel(unroll):
+    assert unroll <= _NBUF
 
-    # Moller-Trumbore, formulas identical to ops/intersect.ray_triangle
-    # (modelLoader.h:49-123 semantics: |a| < 1e-5 parallel cutoff, strict
-    # negative-barycentric rejection, no t>0 check here).
-    qx = dy * e2z - dz * e2y          # q = cross(d, e2) -> (C, P)
-    qy = dz * e2x - dx * e2z
-    qz = dx * e2y - dy * e2x
-    a = e1x * qx + e1y * qy + e1z * qz
-    parallel = jnp.abs(a) < EPS_PARALLEL
-    inv_a = jnp.where(parallel, 0.0, 1.0 / jnp.where(parallel, 1.0, a))
-    sx = (ox - v0x) * inv_a           # s = (o - v0) * inv_a -> (C, P)
-    sy = (oy - v0y) * inv_a
-    sz = (oz - v0z) * inv_a
-    rx = sy * e1z - sz * e1y          # r = cross(s, e1)
-    ry = sz * e1x - sx * e1z
-    rz = sx * e1y - sy * e1x
-    b0 = sx * qx + sy * qy + sz * qz
-    b1 = rx * dx + ry * dy + rz * dz
-    b2 = 1.0 - b0 - b1
-    reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0)
-    t = e2x * rx + e2y * ry + e2z * rz
-    ts = jnp.where(reject, MAX_FLOAT, t)
+    def _kernel(meta_ref, boxes_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
+                out_ref, slid, slent, sl_sem, buf, sem):
+        i = pl.program_id(0)
+        num_tris = meta_ref[0]
+        P = rays_ref.shape[2]
+        G = _TILE_GROUP
+        W = slid.shape[1]
 
-    valid = (tid < num_tris) & (ts > 0.0) & (ts <= t_best)
-    ts = jnp.where(valid, ts, MAX_FLOAT)
+        # Stage this group's shortlists (ids+count, entries) into SMEM.
+        d1 = pltpu.make_async_copy(
+            slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
+        d2 = pltpu.make_async_copy(
+            slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
 
-    # closest fold with lower-index tie-break (traversal._closest_update)
-    t_new = jnp.min(ts, axis=0, keepdims=True)             # (1, P)
-    is_min = (ts == t_new) & (ts < MAX_FLOAT)
-    id_new = jnp.min(
-        jnp.where(is_min, tid, _TRI_SENTINEL), axis=0, keepdims=True
-    )
-    better = (t_new < t_best) | (
-        (t_new == t_best) & (id_new < id_best)
-        & (id_new < _TRI_SENTINEL) & (id_best >= 0)
-    )
-    t_out = jnp.where(better, t_new, t_best)
-    id_out = jnp.where(better, id_new, id_best)
-    return t_out, id_out
+        def one_tile(g, _):
+            cnt = slid[g, 0]
+            row = rays_ref[pl.ds(g, 1)].reshape(8, P)     # (8, P)
+            tile = jnp.transpose(row)                     # (P, 8) for folds
+            ox = tile[:, 0:1]
+            oy = tile[:, 1:2]
+            oz = tile[:, 2:3]
+            dx = tile[:, 3:4]
+            dy = tile[:, 4:5]
+            dz = tile[:, 5:6]
+            lane_on = tile[:, 6:7] > 0.5
+            t_init = jnp.where(lane_on,
+                               jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
+                               _MASKED_T_INIT)
+            id_init = jnp.full((P, 1), -1, jnp.int32)
 
+            def cond(carry):
+                s, done, t_best, id_best = carry
+                return jnp.logical_not(done)
 
-def _box_any_hit(cl, ox, oy, oz, idx, idy, idz, t_best):
-    """Does any ray in the tile enter this cluster's AABB before its current
-    best hit? ~20 (1, P) VPU ops — the cheap gate before the (C, P) MT."""
-    blox = cl[0:1, 10:11]
-    bloy = cl[0:1, 11:12]
-    bloz = cl[0:1, 12:13]
-    bhix = cl[0:1, 13:14]
-    bhiy = cl[0:1, 14:15]
-    bhiz = cl[0:1, 15:16]
-    tx0 = (blox - ox) * idx
-    tx1 = (bhix - ox) * idx
-    ty0 = (bloy - oy) * idy
-    ty1 = (bhiy - oy) * idy
-    tz0 = (bloz - oz) * idz
-    tz1 = (bhiz - oz) * idz
-    tmin = jnp.maximum(
-        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-        jnp.minimum(tz0, tz1),
-    )
-    tmax = jnp.minimum(
-        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-        jnp.maximum(tz0, tz1),
-    )
-    hit = (tmin <= tmax) & (tmax >= 0.0) & (tmin <= t_best)
-    return jnp.any(hit)
+            # guarded reciprocals: a zero component would make the slab
+            # test produce 0*inf = NaN, whose comparisons are False — the
+            # gate would then UNconservatively skip a plausible cluster
+            def _inv(d_):
+                return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
+                                       jnp.where(d_ < 0, -1e-30, 1e-30), d_)
 
+            oxr = row[0:1, :]
+            oyr = row[1:2, :]
+            ozr = row[2:3, :]
+            idxr = _inv(row[3:4, :])
+            idyr = _inv(row[4:5, :])
+            idzr = _inv(row[5:6, :])
 
-def _kernel(meta_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
-            t_out, id_out, slid, slent, sl_sem, buf, sem):
-    i = pl.program_id(0)
-    num_tris = meta_ref[0]
-    P = rays_ref.shape[2]
-    G = _TILE_GROUP
-    W = slid.shape[1]  # 512
+            iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
+            pow2_u = jnp.exp2(iota_u.astype(jnp.float32))
 
-    # Stage this group's shortlists (ids+count, entry distances) into SMEM.
-    d1 = pltpu.make_async_copy(
-        slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
-    d2 = pltpu.make_async_copy(
-        slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
-    d1.start()
-    d2.start()
-    d1.wait()
-    d2.wait()
+            def body(carry):
+                s, done, t_best, id_best = carry
+                # Phase 1 — gate the whole group from SMEM boxes against
+                # the group-start t_best (conservative), one scalar sync.
+                t_row = jnp.transpose(t_best)              # (1, P)
+                sids = []
+                hits = []
+                for u in range(unroll):
+                    su = s + u
+                    sid = slid[g, jnp.minimum(1 + su, W - 1)]
+                    sids.append(sid)
+                    box6 = tuple(boxes_ref[sid, j] for j in range(6))
+                    hits.append(_box_hit_row(
+                        box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row))
+                hit_u = jnp.concatenate(hits, axis=0)      # (unroll, P)
+                in_range = (s + iota_u) < cnt
+                wt = jnp.where(hit_u & in_range, pow2_u, 0.0)
+                bits = jnp.sum(
+                    jnp.max(wt, axis=1, keepdims=True)
+                ).astype(jnp.int32)
 
-    def one_tile(g, _):
-        cnt = slid[g, 0]
-        tile = rays_ref[pl.ds(g, 1)].reshape(8, P)
-        ox = tile[0:1, :]
-        oy = tile[1:2, :]
-        oz = tile[2:3, :]
-        dx = tile[3:4, :]
-        dy = tile[4:5, :]
-        dz = tile[5:6, :]
-        lane_on = tile[6:7, :] > 0.5
+                # Phase 2 — start every gated-in fetch (ring slot = live
+                # prefix), then fold in order; fold u hides wait u+1.
+                bvals = []
+                pfx = []
+                acc = jnp.int32(0)
+                for u in range(unroll):
+                    bvals.append((bits >> u) & 1)
+                    pfx.append(acc)
+                    acc = acc + bvals[u]
 
-        # guarded reciprocals (same fix as dense_resident.py): an exactly
-        # axis-aligned ray with origin on a cluster slab plane would produce
-        # 0*inf = NaN in _box_any_hit, all comparisons go False, and the
-        # gate would UNconservatively skip a cluster that may hold the hit
-        def _inv(d_):
-            return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
-                                   jnp.where(d_ < 0, -1e-30, 1e-30), d_)
+                for u in range(unroll):
+                    @pl.when(bvals[u] != 0)
+                    def _(u=u):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[sids[u]], buf.at[pfx[u]],
+                            sem.at[pfx[u]]).start()
 
-        idx = _inv(dx)
-        idy = _inv(dy)
-        idz = _inv(dz)
+                for u in range(unroll):
+                    def do_fold(tb, ib, u=u):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[sids[u]], buf.at[pfx[u]],
+                            sem.at[pfx[u]]).wait()
+                        cl = buf[pfx[u]]               # (16, C) VMEM
+                        return _mt_fold_pc(
+                            cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
-        def dma(slot, s):
-            return pltpu.make_async_copy(
-                cl_hbm.at[slid[g, 1 + s]], buf.at[slot], sem.at[slot]
-            )
+                    t_best, id_best = jax.lax.cond(
+                        bvals[u] != 0,
+                        do_fold,
+                        lambda tb, ib: (tb, ib),
+                        t_best, id_best,
+                    )
 
-        # pipeline warm-up: _NBUF-1 cluster fetches in flight (the last
-        # buffer stays free so a new start never lands on the slot the
-        # current iteration is reading)
-        for w in range(_NBUF - 1):
-            @pl.when(w < cnt)
-            def _(w=w):
-                dma(w, w).start()
+                nxt = s + unroll
+                exhausted = nxt >= cnt
+                next_entry = slent[g, jnp.minimum(nxt, W - 1)]
+                t_max = jnp.max(t_best)
+                # strict <: equal-t lower-index triangles in the next
+                # cluster must still be considered (tie-break contract)
+                return (nxt, exhausted | (t_max < next_entry),
+                        t_best, id_best)
 
-        def cond(carry):
-            s, done, t_best, id_best = carry
-            return jnp.logical_not(done)
+            # all-dead tiles skip the loop entirely
+            init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
+                    t_init, id_init)
+            _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
 
-        def body(carry):
-            s, done, t_best, id_best = carry
-            slot = jax.lax.rem(s, _NBUF)
-
-            # keep the pipeline _NBUF-1 deep; index s+_NBUF-1 lands in slot
-            # (s-1) mod _NBUF — never the slot this iteration reads.
-            # Stragglers are drained after the loop on early exit.
-            @pl.when(s + _NBUF - 1 < cnt)
-            def _():
-                dma(jax.lax.rem(s + _NBUF - 1, _NBUF), s + _NBUF - 1).start()
-
-            dma(slot, s).wait()
-            cl = buf[slot]
-
-            plausible = _box_any_hit(cl, ox, oy, oz, idx, idy, idz, t_best)
-            t_best, id_best = jax.lax.cond(
-                plausible,
-                lambda tb, ib: _mt_fold(cl, ox, oy, oz, dx, dy, dz,
-                                        tb, ib, num_tris),
-                lambda tb, ib: (tb, ib),
-                t_best, id_best,
-            )
-
-            # early exit: the shortlist is entry-sorted, so once every
-            # ray's best hit is closer than the next cluster's conservative
-            # entry, nothing later can matter
-            nxt = s + 1
-            exhausted = nxt >= cnt
-            next_entry = slent[g, jnp.minimum(nxt, W - 1)]
-            t_max = jnp.max(t_best)
-            # strict <: at t_max == next_entry an equal-t lower-index
-            # triangle could still live in the next cluster (tie-break)
-            done = exhausted | (t_max < next_entry)
-            return nxt, done, t_best, id_best
-
-        init = (
-            jnp.int32(0),
-            cnt == 0,
-            # masked lanes start below any real t: they never update and
-            # never hold the early exit open; live lanes start at their
-            # search cap (row 7: scene-exit distance, see ops/packets.py)
-            jnp.where(lane_on, jnp.minimum(MAX_FLOAT, tile[7:8, :]),
-                      _MASKED_T_INIT),
-            jnp.full((1, P), -1, jnp.int32),
-        )
-        s_end, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
-
-        # drain prefetches left in flight by an early exit
-        def drain(s, _):
-            @pl.when(s < cnt)
-            def _():
-                dma(jax.lax.rem(s, _NBUF), s).wait()
+            out = jnp.concatenate(
+                [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
+            )  # (P, 2); id == -1 -> 2^23 - 1, still exact
+            out_ref[pl.ds(g, 1)] = jnp.transpose(out).reshape(1, 2, P)
             return 0
 
-        jax.lax.fori_loop(s_end, s_end + _NBUF - 1, drain, 0)
+        jax.lax.fori_loop(0, G, one_tile, 0)
 
-        t_out[pl.ds(g, 1), :] = t_best
-        id_out[pl.ds(g, 1), :] = id_best
-        return 0
-
-    jax.lax.fori_loop(0, G, one_tile, 0)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dense_intersect(ids, counts, entries, rays, cl_packed, num_tris,
-                    interpret: bool = False):
-    """Run the dense intersection kernel.
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
+                    interpret: bool = False, unroll: int = _NBUF):
+    """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
     counts:    (Tl,) i32 — candidates per tile (<= M <= MAX_SHORTLIST)
     entries:   (Tl, M) f32 — conservative entry distance per slot (+inf pad)
-    rays:      (Tl, 8, P) f32 — o.xyz / d.xyz / lane-mask / pad
-    cl_packed: (K+1, C, 128) f32 from pack_clusters
-    num_tris:  () i32 (pad-slot filter)
+    rays:      (Tl, 8, P) f32 — o.xyz / d.xyz / lane-mask / search-cap
+    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (stays in HBM)
+    boxes:     (K+1, 8) f32 from pack_cluster_boxes (SMEM, scalar gates)
 
     Returns (t (Tl, P) f32, tri (Tl, P) i32) — closest hit per ray over the
     shortlisted clusters only (caller handles the overflow fallback).
     """
     Tl, M = ids.shape
     P = rays.shape[2]
-    C = cl_packed.shape[1]
+    C = cl_packed.shape[2]
     G = _TILE_GROUP
     assert M <= MAX_SHORTLIST, f"max_clusters {M} > {MAX_SHORTLIST}"
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
@@ -329,6 +235,7 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, num_tris,
         [entries.astype(jnp.float32),
          jnp.full((Tl, W - M), jnp.inf, jnp.float32)], axis=1)
 
+    NR = rays.shape[1]
     Tp = -(-Tl // G) * G
     if Tp != Tl:
         slid = jnp.concatenate(
@@ -336,41 +243,34 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, num_tris,
         slent = jnp.concatenate(
             [slent, jnp.full((Tp - Tl, W), jnp.inf, jnp.float32)], axis=0)
         rays = jnp.concatenate(
-            [rays, jnp.zeros((Tp - Tl, 8, P), rays.dtype)], axis=0)
+            [rays, jnp.zeros((Tp - Tl, NR, P), rays.dtype)], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # meta only (shortlists ride HBM -> SMEM)
+        num_scalar_prefetch=2,   # meta + cluster boxes (both SMEM)
         grid=(Tp // G,),
         in_specs=[
-            pl.BlockSpec(
-                (G, 8, P), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((G, NR, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # shortlist ids
             pl.BlockSpec(memory_space=pl.ANY),  # shortlist entries
             pl.BlockSpec(memory_space=pl.ANY),  # cl_packed stays in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((G, P), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, P), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((G, 2, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((G, W), jnp.int32),
             pltpu.SMEM((G, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((_NBUF, C, _LANES), jnp.float32),  # DMA pipeline
+            pltpu.VMEM((_NBUF, 16, C), jnp.float32),  # cluster ring
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
     )
-    t, tri = pl.pallas_call(
-        _kernel,
+    out = pl.pallas_call(
+        _make_kernel(unroll),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, P), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, P), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,
-    )(meta, rays, slid, slent, cl_packed)
-    return t[:Tl], tri[:Tl]
+    )(meta, boxes, rays, slid, slent, cl_packed)
+    t = out[:Tl, 0, :]
+    tri = (out[:Tl, 1, :] - _ID_OFFSET).astype(jnp.int32)
+    return t, tri

@@ -30,7 +30,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.constants import EPS_PARALLEL, MAX_FLOAT
-from .dense import _ID_OFFSET, _MASKED_T_INIT, _TILE_GROUP, _TRI_SENTINEL
+
+# Shared by both kernels (the DMA-pipelined variant in dense.py imports
+# from here; plain ints, not jnp constants — a module-level jnp value
+# would be captured as a traced constant, which pallas_call rejects).
+_TRI_SENTINEL = 0x7FFFFFFF
+_TILE_GROUP = 8    # tiles per grid step (sublane-divisibility of blocks)
+MAX_SHORTLIST = 4095  # shortlist cap; SMEM row width adapts to the
+#                       actual M (multiples of 128 lanes)
+_ID_OFFSET = float(1 << 23)  # exact-integer float window for triangle ids
+MAX_TRIS = (1 << 23) - 2     # ids (incl. the pad id T) must stay exact
+_MASKED_T_INIT = -3.0e38  # masked lanes start below any real t so they
+#                           never update and never block the early exit
 
 _ATTR_ROWS = 16  # 9 attrs + ids + 6 box floats (box unused here), 8-aligned
 
@@ -72,9 +83,12 @@ def pack_clusters_resident(pd) -> jnp.ndarray:
     Rows 10-15 (the broadcast box) are no longer read by the kernel (boxes
     ride SMEM via pack_cluster_boxes) but stay in the layout: the (8, 128)
     sublane tiling pads 10 rows to 16 anyway, so dropping them saves no
-    VMEM and would churn every consumer."""
+    VMEM and would churn every consumer.
+
+    C < 128 (small test scenes reaching the DMA kernel) is lane-padded to
+    128 with all-zero triangles: a == 0 -> parallel reject -> ts stays
+    MAX_FLOAT and the pad id never wins the fold."""
     K1, C = pd.tri.shape
-    assert C % 128 == 0, f"resident layout needs C % 128 == 0, got {C}"
     ids_f = pd.tri.astype(jnp.float32) + _ID_OFFSET
 
     def rep(v):  # (K,) -> (K+1, C)
@@ -90,6 +104,11 @@ def pack_clusters_resident(pd) -> jnp.ndarray:
          rep(pd.cl_hi.x), rep(pd.cl_hi.y), rep(pd.cl_hi.z)], axis=1
     )  # (K+1, 16, C): 9 attrs + ids + 6 box floats = 16 rows exactly
     assert packed.shape[1] == _ATTR_ROWS
+    if C % 128 != 0:
+        Cp = -(-C // 128) * 128
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((K1, _ATTR_ROWS, Cp - C), jnp.float32)],
+            axis=2)
     return packed
 
 
