@@ -262,7 +262,6 @@ def _make_kernel(unroll):
             idzr = _inv(row[5:6, :])
 
             iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
-            pow2_u = jnp.exp2(iota_u.astype(jnp.float32))   # (unroll, 1)
 
             def make_body(unroll):
                 def body(carry):
@@ -271,20 +270,23 @@ def _make_kernel(unroll):
                     # t_best (it only shrinks, so this is conservative) and
                     # pack the per-slot any-live-lane verdicts into ONE
                     # scalar bitmask: one vector->scalar sync per group
-                    # instead of one per slot.
+                    # instead of one per slot. Each bool row converts to an
+                    # f32 weight BEFORE the concat: Mosaic cannot relayout
+                    # concatenated i1 vregs ("Invalid vector register cast").
                     t_row = jnp.transpose(t_best)          # (1, P)
                     sids = []
-                    hits = []
+                    wts = []
                     for u in range(unroll):
                         su = s + u
                         sid = slid[g, jnp.minimum(1 + su, W - 1)]
                         sids.append(sid)
                         box6 = tuple(boxes_ref[sid, j] for j in range(6))
-                        hits.append(_box_hit_row(
-                            box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row))
-                    hit_u = jnp.concatenate(hits, axis=0)  # (unroll, P)
+                        h = _box_hit_row(
+                            box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
+                        wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))
+                    wt = jnp.concatenate(wts, axis=0)      # (unroll, P) f32
                     in_range = (s + iota_u) < cnt          # (unroll, 1)
-                    wt = jnp.where(hit_u & in_range, pow2_u, 0.0)
+                    wt = wt * in_range.astype(jnp.float32)
                     bits = jnp.sum(
                         jnp.max(wt, axis=1, keepdims=True)
                     ).astype(jnp.int32)                    # scalar sync
