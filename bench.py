@@ -61,7 +61,7 @@ def main():
             width=size, height=size, spp=spp,
             integrator="pt_nee", samples_per_call=spp,
             sample_batch=sbatch,
-            packet_rounds=int(os.environ.get("BENCH_ROUNDS", "2")),
+            packet_rounds=int(os.environ.get("BENCH_ROUNDS", "1")),
             packet_first_round=int(os.environ.get("BENCH_FIRST", "2")),
             sort_window=int(os.environ.get("BENCH_SORTWIN", "0")),
             cluster_size=(int(os.environ["BENCH_C"])

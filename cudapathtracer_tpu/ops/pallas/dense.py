@@ -128,8 +128,10 @@ def _make_kernel(unroll):
                 s, done, t_best, id_best = carry
                 # Phase 1 — gate the whole group from SMEM boxes against
                 # the group-start t_best (conservative), one scalar sync.
-                # Bool rows convert to f32 weights BEFORE the concat:
-                # Mosaic cannot relayout concatenated i1 vregs.
+                # The early-exit verdict rides the same bitmask as bit
+                # `unroll` (see dense_resident.py for the equivalence
+                # argument). Bool rows convert to f32 weights BEFORE the
+                # concat: Mosaic cannot relayout concatenated i1 vregs.
                 t_row = jnp.transpose(t_best)              # (1, P)
                 sids = []
                 wts = []
@@ -141,9 +143,16 @@ def _make_kernel(unroll):
                     h = _box_hit_row(
                         box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
                     wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))
-                wt = jnp.concatenate(wts, axis=0)          # (unroll, P) f32
+                # >= (non-strict): equal-t lower-index contract
+                entry_s0 = slent[g, jnp.minimum(s, W - 1)]
+                wts.append(jnp.where(t_row >= entry_s0,
+                                     jnp.float32(1 << unroll), 0.0))
+                wt = jnp.concatenate(wts, axis=0)        # (unroll+1, P) f32
                 in_range = (s + iota_u) < cnt
-                wt = wt * in_range.astype(jnp.float32)
+                rng1 = jnp.concatenate(
+                    [in_range.astype(jnp.float32),
+                     jnp.ones((1, 1), jnp.float32)], axis=0)
+                wt = wt * rng1
                 bits = jnp.sum(
                     jnp.max(wt, axis=1, keepdims=True)
                 ).astype(jnp.int32)
@@ -183,12 +192,8 @@ def _make_kernel(unroll):
 
                 nxt = s + unroll
                 exhausted = nxt >= cnt
-                next_entry = slent[g, jnp.minimum(nxt, W - 1)]
-                t_max = jnp.max(t_best)
-                # strict <: equal-t lower-index triangles in the next
-                # cluster must still be considered (tie-break contract)
-                return (nxt, exhausted | (t_max < next_entry),
-                        t_best, id_best)
+                no_open = (bits >> unroll) == 0
+                return (nxt, exhausted | no_open, t_best, id_best)
 
             # all-dead tiles skip the loop entirely
             init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),

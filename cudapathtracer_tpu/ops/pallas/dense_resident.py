@@ -269,9 +269,15 @@ def _make_kernel(unroll):
                     # Phase 1 — gate ALL unroll slots against the group-start
                     # t_best (it only shrinks, so this is conservative) and
                     # pack the per-slot any-live-lane verdicts into ONE
-                    # scalar bitmask: one vector->scalar sync per group
-                    # instead of one per slot. Each bool row converts to an
-                    # f32 weight BEFORE the concat: Mosaic cannot relayout
+                    # scalar bitmask. The EARLY-EXIT verdict rides the same
+                    # bitmask as bit `unroll` (one sync per iteration, not
+                    # two): exit when NO lane's best t reaches this group's
+                    # first entry — entries ascend, so every later slot's
+                    # per-ray box test (tmin >= entry > t_best) fails too.
+                    # Identical exit timing to the old end-of-iteration
+                    # `t_max < next_entry` check, evaluated one group
+                    # boundary later. Each bool row converts to an f32
+                    # weight BEFORE the concat: Mosaic cannot relayout
                     # concatenated i1 vregs ("Invalid vector register cast").
                     t_row = jnp.transpose(t_best)          # (1, P)
                     sids = []
@@ -284,9 +290,17 @@ def _make_kernel(unroll):
                         h = _box_hit_row(
                             box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
                         wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))
-                    wt = jnp.concatenate(wts, axis=0)      # (unroll, P) f32
+                    # >= (non-strict): a best hit EQUAL to the next entry
+                    # must keep searching (lower-index tie-break contract)
+                    entry_s0 = slent[g, jnp.minimum(s, W - 1)]
+                    wts.append(jnp.where(t_row >= entry_s0,
+                                         jnp.float32(1 << unroll), 0.0))
+                    wt = jnp.concatenate(wts, axis=0)    # (unroll+1, P) f32
                     in_range = (s + iota_u) < cnt          # (unroll, 1)
-                    wt = wt * in_range.astype(jnp.float32)
+                    rng1 = jnp.concatenate(
+                        [in_range.astype(jnp.float32),
+                         jnp.ones((1, 1), jnp.float32)], axis=0)
+                    wt = wt * rng1
                     bits = jnp.sum(
                         jnp.max(wt, axis=1, keepdims=True)
                     ).astype(jnp.int32)                    # scalar sync
@@ -310,12 +324,8 @@ def _make_kernel(unroll):
                         )
                     nxt = s + unroll
                     exhausted = nxt >= cnt
-                    next_entry = slent[g, jnp.minimum(nxt, W - 1)]
-                    t_max = jnp.max(t_best)
-                    # strict <: equal-t lower-index triangles in the next
-                    # cluster must still be considered (tie-break contract)
-                    return (nxt, exhausted | (t_max < next_entry),
-                            t_best, id_best)
+                    no_open = (bits >> unroll) == 0
+                    return (nxt, exhausted | no_open, t_best, id_best)
                 return body
 
             body = make_body(unroll)

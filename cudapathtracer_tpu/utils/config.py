@@ -44,12 +44,14 @@ class RenderConfig:
     max_clusters: int = 4095        # shortlist cap per tile (pallas loops
     #                                 only each tile's true candidate count)
     packet_sort: bool = True        # sort rays by octant+origin Morton
-    packet_rounds: int = 2          # straggler splitting: early rounds cap
+    packet_rounds: int = 1          # straggler splitting: early rounds cap
     #                                 each tile's candidate budget; stragglers
-    #                                 compact into the next pass (measured
-    #                                 +19% on the interior bench; 3 rounds
-    #                                 measured worse — per-round sort/cull
-    #                                 overhead)
+    #                                 compact into the next pass. Was a +19%
+    #                                 win in r1; the r3 SMEM box gates made
+    #                                 over-budget slots nearly free, so r=2
+    #                                 is now a net LOSS (68 vs 57 ms/bounce
+    #                                 trace at 20k tris, 22.7 -> 26.0 Mrays/s
+    #                                 end to end) — default is one round.
     packet_first_round: int = 2     # round-1 candidate budget per tile
     packet_rounds_bdpt: int = 1     # straggler rounds for BDPT's traces.
     #                                 Round 2 measured rounds as a net loss
