@@ -46,8 +46,18 @@ _MASKED_T_INIT = -3.0e38  # masked lanes start below any real t so they
 _ATTR_ROWS = 16  # 9 attrs + ids + 6 box floats (box unused here), 8-aligned
 
 # VMEM budget for the resident scene block; beyond this the caller must use
-# the DMA-pipelined kernel (ops/pallas/dense.py).
-RESIDENT_VMEM_BUDGET = 10 * 1024 * 1024
+# the DMA-pipelined kernel (ops/pallas/dense.py). Mosaic's DEFAULT limit is
+# 32 MB, but v5e VMEM is physically 128 MB — we pass an explicit
+# vmem_limit_bytes (scene block + fold-temp headroom) to pallas_call, which
+# lets sponza-scale scenes (328k tris ≈ 30 MB packed) stay fully resident
+# instead of falling back to the DMA-pipelined path.
+RESIDENT_VMEM_BUDGET = 72 * 1024 * 1024
+
+# headroom for everything that is NOT the scene block: the (P, C) f32 fold
+# temps (~10 live at C=1024 → ~10 MB), the (G, NR, P) ray block, outputs,
+# and Mosaic internal scratch
+_VMEM_HEADROOM = 44 * 1024 * 1024
+_VMEM_CEILING = 124 * 1024 * 1024  # v5e physical VMEM minus a safety margin
 
 
 def resident_fits(num_clusters: int, cluster_size: int) -> bool:
@@ -261,8 +271,6 @@ def _make_kernel(unroll):
             idyr = _inv(row[4:5, :])
             idzr = _inv(row[5:6, :])
 
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
-
             def make_body(unroll):
                 def body(carry):
                     s, done, t_best, id_best = carry
@@ -279,6 +287,14 @@ def _make_kernel(unroll):
                     # boundary later. Each bool row converts to an f32
                     # weight BEFORE the concat: Mosaic cannot relayout
                     # concatenated i1 vregs ("Invalid vector register cast").
+                    #
+                    # MEASURED AND REJECTED (r3): gating/folding per 128-lane
+                    # SUB-BLOCK (bit u*S+h, per-block AABBs from the member
+                    # tris, (P, 128) folds inside per-block lax.conds) —
+                    # 58.7 vs 53.2 ms/trace at 20k tris (C=256) and 178 vs
+                    # 103 ms at 328k (C=1024): the extra branches and the
+                    # narrower folds cost more than the skipped work saves,
+                    # at every scale tried.
                     t_row = jnp.transpose(t_best)          # (1, P)
                     sids = []
                     wts = []
@@ -286,21 +302,18 @@ def _make_kernel(unroll):
                         su = s + u
                         sid = slid[g, jnp.minimum(1 + su, W - 1)]
                         sids.append(sid)
+                        ok_u = su < cnt                    # scalar bool
                         box6 = tuple(boxes_ref[sid, j] for j in range(6))
-                        h = _box_hit_row(
+                        hit = _box_hit_row(
                             box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
-                        wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))
+                        wts.append(jnp.where(
+                            hit & ok_u, jnp.float32(1 << u), 0.0))
                     # >= (non-strict): a best hit EQUAL to the next entry
                     # must keep searching (lower-index tie-break contract)
                     entry_s0 = slent[g, jnp.minimum(s, W - 1)]
                     wts.append(jnp.where(t_row >= entry_s0,
                                          jnp.float32(1 << unroll), 0.0))
                     wt = jnp.concatenate(wts, axis=0)    # (unroll+1, P) f32
-                    in_range = (s + iota_u) < cnt          # (unroll, 1)
-                    rng1 = jnp.concatenate(
-                        [in_range.astype(jnp.float32),
-                         jnp.ones((1, 1), jnp.float32)], axis=0)
-                    wt = wt * rng1
                     bits = jnp.sum(
                         jnp.max(wt, axis=1, keepdims=True)
                     ).astype(jnp.int32)                    # scalar sync
@@ -408,10 +421,15 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    blk = 4
+    for s in cl_packed.shape:
+        blk *= int(s)
+    vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
     out = pl.pallas_call(
         _make_kernel(unroll),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(meta, boxes, rays, cl_packed, slid, slent)
     t = out[:Tl, 0, :]

@@ -406,16 +406,26 @@ def _upload_flat(lo, hi, skip, leaf, leaf_tri):
 
 
 def adaptive_cluster_size(num_tris: int) -> int:
-    """Default cluster granularity: ~T/4096 in multiples of 128, clamped to
-    [256, 1024]. Re-swept in round 2 AFTER the kernels gained the per-slot
-    cluster-AABB gate: bigger clusters got cheaper to carry (irrelevant
-    ones cost a ~25-op box test instead of a full fold), moving the
-    20k-tri optimum from 384 to 640 (measured 20.2/20.7/21.3/22.4/21.5/21.1
-    Mrays/s at C=256/384/512/640/768/1024). Multiples of 128 keep the
-    VMEM-resident kernel eligible."""
-    import math
+    """Default cluster granularity, multiples of 128 in [256, 1024].
 
-    return min(1024, max(256, 128 * round(num_tris / 4096)))
+    Re-swept in round 3 AFTER the fused-bitmask SMEM gates made over-budget
+    slots nearly free: SMALL clusters won back the 20k-tri optimum
+    (53.2/55.2/57.4/55.7 ms per sorted bounce trace at C=256/384/512/640),
+    reversing the round-2 640 optimum. The floor rises with scene size to
+    keep the CLUSTER COUNT K safely under the two-level-cull auto threshold
+    (ops/packets.py: K >= 512): past it, the supercluster expansion cap
+    can drop close candidates on fat interior bounce frustums and push
+    whole tiles into the per-ray fine-BVH fallback — measured 53 s(!) per
+    trace at 328k tris with C=256 (K=1842) vs 103 ms with C=1024 (K=459).
+    Measured optima (ms per sorted 1M-ray bounce trace, r3): 20k tris ->
+    C=256 (53.2 vs 55.7 at 640); 82k -> C=512 (69.1 vs 73.3/76.0 at
+    256/1024); 328k -> C=1024. ~T/160 hits all three; the [256, 1024]
+    clamps keep small scenes at the fixed-cost floor and big scenes under
+    the K cliff. NOTE: past ~360k tris the 1024 cap lets K grow beyond the
+    two-level threshold again — revisit (bigger C or a fixed two-level
+    cull) before relying on >400k-tri single-chip scenes."""
+    c = max(256, round(num_tris / 160))
+    return min(1024, 128 * max(2, round(c / 128)))
 
 
 def build_bvh_for_scene(scene, leaf_size: int = 4, use_native: bool = True,

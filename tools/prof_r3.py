@@ -38,13 +38,16 @@ R = SIZE * SIZE
 # round-3 measured: windowed sort LOSES at 20k (22.7 vs 26.0 Mrays/s end to
 # end at W=128k — looser tiles cost more kernel time than the sort saves);
 # rounds=2 loses post-box-gate (68 vs 57 ms/trace). Sweep P x unroll.
+# NOTE on 328k scales: C<=512 gives K>=917 -> two-level cull auto-ON with a
+# 128-candidate expansion cap -> chronic U-bound drops -> ~all rays hit the
+# per-ray fine-BVH fallback (measured 53 s/trace at C=256!). Keep K < 512
+# (C=1024) at sponza scale so the flat cull drops nothing.
 CONFIGS = [
     ("P256 u4 r1 C=adaptive", 256, 4, 0, 1, None),
-    ("P256 u4 r1 C=128", 256, 4, 0, 1, 128),
     ("P256 u4 r1 C=256", 256, 4, 0, 1, 256),
-    ("P256 u4 r1 C=384", 256, 4, 0, 1, 384),
     ("P256 u4 r1 C=512", 256, 4, 0, 1, 512),
-    ("P256 u8 r1 C=256", 256, 8, 0, 1, 256),
+    ("P256 u4 r1 C=1024", 256, 4, 0, 1, 1024),
+    ("P256 u2 r1 C=1024", 256, 2, 0, 1, 1024),
 ]
 
 
@@ -67,13 +70,15 @@ def timed(name, fn, *args, iters=4):
 
 def main():
     subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    configs = [c for c in CONFIGS
+               if subdiv < 5 or c[5] in (None, 1024)]  # see NOTE above
     print("device:", jax.devices()[0], flush=True)
     desc = procedural.colonnade(subdiv=subdiv)
     scene = procedural.to_scene(desc)
     cfg = RenderConfig(width=SIZE, height=SIZE, spp=4, integrator="pt_nee",
                        samples_per_call=4, reuse_primary_hit=True)
 
-    csizes = sorted({c[5] for c in CONFIGS},
+    csizes = sorted({c[5] for c in configs},
                     key=lambda c: (c is None, c or 0))
     for csize in csizes:
         bvh = build_bvh_for_scene(scene, cfg.leaf_size, cluster_size=csize)
@@ -116,7 +121,7 @@ def main():
         mask = jnp.ones((R,), bool)
 
         orig = dr.dense_intersect_resident
-        for (label, P, unroll, W, rounds, cs) in CONFIGS:
+        for (label, P, unroll, W, rounds, cs) in configs:
             if cs != csize:
                 continue
             if unroll is not None:
