@@ -25,10 +25,26 @@ after a leaf gather, giving (R, L) results).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.constants import EPS_PARALLEL, MAX_FLOAT
 from .vecmath import Vec3, cross, dot
+
+
+# ENGINE BIT-PARITY AND FMA CONTRACTION (measured, do not re-derive):
+# XLA contracts `a*b - c*d` / dot-product chains into FMAs under jit —
+# deterministically BY EXPRESSION STRUCTURE, so two different jit programs
+# computing the same formula on the same bits agree bitwise (this is why
+# the engines' assert_array_equal parity holds). EAGER execution however
+# runs one op per program and cannot contract, so eagerly-computed values
+# differ from jit-computed ones in the last ULP (~30% of elements for the
+# BW attribute table). `jax.lax.optimization_barrier` does NOT stop the
+# contraction (verified: barriers are gone from the compiled HLO and the
+# FMA result survives). Rule: any value that must match across engines is
+# computed under jit — `bw_precompute` below is jit-wrapped so even eager
+# callers (tests building PacketData/TraceData outside jit) get the same
+# contracted bits the in-jit engines compute.
 
 
 def ray_aabb(o: Vec3, inv_d: Vec3, lo: Vec3, hi: Vec3, t_best=None, clip: bool = True):
@@ -87,6 +103,88 @@ def ray_triangle(o: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
     reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0)
     t = dot(e2, r)
     return jnp.where(reject, MAX_FLOAT, t)
+
+
+@jax.jit
+def bw_precompute(e1: Vec3, e2: Vec3):
+    """Baldwin-Weber precomputed triangle attributes (n, m1, m2).
+
+    ``n = e1 x e2`` (unnormalized geometric normal); ``m1 = (e2 x n)/|n|^2``
+    and ``m2 = (n x e1)/|n|^2`` are the barycentric row functionals: for a
+    point p on the triangle's plane, ``u = m1.(p - v0)`` and
+    ``v = m2.(p - v0)`` are its barycentric coordinates (Baldwin & Weber
+    2016, JCGT — the world-space form; we anchor at v0 instead of storing a
+    plane offset because the offset form ``-(n.v0)`` measured 4.5e-5
+    relative t error from catastrophic cancellation at sponza-scale
+    coordinates, while the v0-anchored form matches Moller-Trumbore to
+    ~2e-7).
+
+    Degenerate triangles (|n| = 0, incl. all-zero padding) yield
+    m1 = m2 = 0 and reject in ``ray_triangle_bw`` via the parallel test.
+    This is THE single source of the precompute formula: the Pallas packs
+    (ops/pallas/dense_resident.pack_clusters_resident_bw) and every XLA
+    engine call it so all engines share one rounding profile — and it is
+    ``jax.jit``-wrapped so an EAGER caller (tests packing PacketData /
+    TraceData outside jit) gets the identical FMA-contracted bits the
+    in-jit engines compute (see the contraction note above; without the
+    wrapper, eager per-op execution skips the contraction and ~30% of
+    attribute elements differ in the last ULP, breaking engine
+    bit-parity). Cost: runs once per scene over (T,)-sized arrays.
+    """
+    n = cross(e1, e2)
+    nn = dot(n, n)
+    inv_nn = jnp.where(nn > 0.0, 1.0 / jnp.where(nn > 0.0, nn, 1.0), 0.0)
+    m1 = cross(e2, n) * inv_nn
+    m2 = cross(n, e1) * inv_nn
+    return n, m1, m2
+
+
+def ray_triangle_bw(o: Vec3, d: Vec3, v0: Vec3, n: Vec3, m1: Vec3, m2: Vec3):
+    """Baldwin-Weber intersection on precomputed (n, m1, m2) attributes.
+
+    Decision-equivalent to ``ray_triangle`` in exact arithmetic — the
+    parallel predicate |n.d| < eps equals MT's |a| < eps since the MT
+    determinant is a = e1.(d x e2) = -(n.d); the barycentric sign tests
+    match b0/b1/b2 one-to-one — with ~20% fewer VPU ops per test (the two
+    cross products moved to precompute time). Same contract as
+    ``ray_triangle``: t may be negative (callers filter ``0 < t``),
+    MAX_FLOAT is the miss sentinel, strict ``< 0`` barycentric rejects.
+    Measured rounding agreement with MT: |t| to ~2e-7 relative; ~0.65% of
+    rays on a shared-edge-heavy mesh flip the chosen triangle on exact-tie
+    edges (t agrees to ULPs — radiometrically invisible).
+
+    XLA engines (brute oracle, per-ray walk, packet slot scan) agree
+    bitwise because XLA's FMA contraction is deterministic by expression
+    structure (see the module contraction note) and they all run this one
+    function under jit. The Mosaic kernel fold (_bw_fold_pc) mirrors the
+    same expression order; its residual ULP drift vs XLA is the accepted,
+    test-tolerated Mosaic-vs-XLA contract (ops/packets.py docstring).
+    """
+    sx = o - v0
+    nd = dot(d, n)
+    parallel = jnp.abs(nd) < EPS_PARALLEL
+    inv = jnp.where(parallel, 0.0, 1.0 / jnp.where(parallel, 1.0, nd))
+    t = -dot(sx, n) * inv
+    w = sx + d * t
+    bu = dot(m1, w)
+    bv = dot(m2, w)
+    bw = 1.0 - bu - bv
+    reject = parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
+    return jnp.where(reject, MAX_FLOAT, t)
+
+
+def ray_triangle_any(o: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3,
+                     intersector: str = "bw"):
+    """Triangle test with a selectable intersector ('bw' | 'mt').
+
+    'bw' computes the Baldwin-Weber attributes inline from the edges —
+    callers that test each triangle against many rays should instead
+    ``bw_precompute`` once and call ``ray_triangle_bw`` directly.
+    """
+    if intersector == "mt":
+        return ray_triangle(o, d, v0, e1, e2)
+    n, m1, m2 = bw_precompute(e1, e2)
+    return ray_triangle_bw(o, d, v0, n, m1, m2)
 
 
 def ray_triangle_verts(o: Vec3, d: Vec3, v0: Vec3, v1: Vec3, v2: Vec3):

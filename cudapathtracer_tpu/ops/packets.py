@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.constants import MAX_FLOAT
-from .intersect import ray_triangle
+from .intersect import bw_precompute, ray_triangle, ray_triangle_bw
 from .traversal import Hit, TraceData, _closest_update, trace
 from .vecmath import Vec3, gather
 
@@ -222,7 +222,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   rounds: int = 1, first_round_slots: int = 3,
                   sort_window: int = 0, two_level: bool | None = None,
                   super_factor: int = 8, super_slots: int = 16,
-                  t_cap=None, _need_out: bool = False):
+                  t_cap=None, intersector: str = "bw",
+                  _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
     Semantics identical to ``traversal.trace`` / ``trace_bruteforce``:
@@ -245,6 +246,13 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     identical decision while letting the Mosaic kernels' early exit fire
     as soon as candidate entries pass the cap, and skipping the fine-BVH
     fallback for rays whose dropped candidates all lie beyond it.
+
+    ``intersector``: 'bw' (Baldwin-Weber precomputed form — the default in
+    every engine; measured -3%/-7% per trace at 20k/328k tris vs MT) or
+    'mt' (the reference's Moller-Trumbore, modelLoader.h:49-123). Both are
+    decision-equivalent in exact arithmetic (intersect.ray_triangle_bw);
+    all engines and the fallback run the selected one so results stay
+    engine-independent.
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
@@ -278,7 +286,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 engine=engine, sort=sort, rounds=1,
                 sort_window=sort_window, two_level=two_level,
                 super_factor=super_factor, super_slots=super_slots,
-                t_cap=t_cap, _need_out=True,
+                t_cap=t_cap, intersector=intersector, _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
             acc_t = jnp.where(done, hi.t, acc_t)
@@ -290,7 +298,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
             sort_window=sort_window, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
-            t_cap=t_cap,
+            t_cap=t_cap, intersector=intersector,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -309,19 +317,25 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
 
     if sort:
         # Group incoherent rays (diffuse bounces, connections) into coherent
-        # tiles. All data movement is ROW gathers — two orders of magnitude
-        # faster than scalar gathers on TPU (see module docstring numbers).
+        # tiles. The permutation is applied by carrying every per-ray column
+        # as a PAYLOAD OPERAND of one multi-operand ``lax.sort`` — measured
+        # (tools/prof_sort.py, v5e, 1M rays): a key sort costs ~4.0 ms and
+        # payload operands ride the sort network for FREE (8 payloads: 4.01
+        # ms), while the old argsort + row-gather + inverse-argsort +
+        # row-gather chain cost 13.7 ms. The original lane index travels as
+        # one more payload; a second payload sort keyed on it restores the
+        # original order (no inverse permutation, no gathers, no f32<->i32
+        # bitcasts — tri ids stay int operands end to end).
         lo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
         hi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
         key = ray_sort_keys(o, d, mask, lo, hi)
-        # column 7 carries the per-ray search cap through the permutation
-        # (+inf when uncapped — the inner call then ignores it)
+        # the per-ray search cap rides the permutation too (ignored by the
+        # inner call when t_cap is None)
         cap_col = (jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32), o.x.shape)
                    if t_cap is not None else jnp.zeros_like(o.x))
-        rows = jnp.stack(
-            [o.x, o.y, o.z, d.x, d.y, d.z,
-             mask.astype(jnp.float32), cap_col], axis=1
-        )
+        iota = jnp.arange(R, dtype=jnp.int32)
+        cols = (key, iota, o.x, o.y, o.z, d.x, d.y, d.z,
+                mask.astype(jnp.float32), cap_col)
 
         W = int(sort_window)
         windowed = W > 0 and W % P == 0 and R > W
@@ -340,60 +354,58 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             # the U-bound/fallback makes the hit exact under ANY grouping.
             Rw = -(-R // W) * W
             if Rw != R:
-                # pad lanes: masked (key already 0x7FFFFFFF for mask=False),
-                # unit direction, mask row 0.0
-                pad_row = jnp.tile(
-                    jnp.asarray([0, 0, 0, 1, 1, 1, 0, 0], jnp.float32)[None],
-                    (Rw - R, 1),
-                )
-                rows = jnp.concatenate([rows, pad_row], axis=0)
-                key = jnp.concatenate(
-                    [key, jnp.full((Rw - R,), 0x7FFFFFFF, jnp.int32)]
+                # pad lanes: masked (max key), unit direction, mask 0.0.
+                # The index payload pads with R..Rw-1 (NOT a constant): the
+                # back sort keys on it, so pad indices must stay above every
+                # real lane's to land at the end and be sliced off.
+                pads = (0x7FFFFFFF, None, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0,
+                        0.0, 0.0)
+                cols = tuple(
+                    jnp.concatenate([
+                        c,
+                        jnp.arange(R, Rw, dtype=jnp.int32) if p is None
+                        else jnp.full((Rw - R,), p, c.dtype),
+                    ])
+                    for c, p in zip(cols, pads)
                 )
             NW = Rw // W
-            perm = jnp.argsort(key.reshape(NW, W), axis=-1)      # (NW, W)
-            rows = jnp.take_along_axis(
-                rows.reshape(NW, W, 8), perm[..., None], axis=1
-            ).reshape(Rw, 8)
+            cols = jax.lax.sort(
+                tuple(c.reshape(NW, W) for c in cols),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            cols = tuple(c.reshape(Rw) for c in cols)
         else:
-            perm = jnp.argsort(key)
-            rows = jnp.take(rows, perm, axis=0)
+            cols = jax.lax.sort(cols, num_keys=1, is_stable=False)
+        (_, sidx, sox, soy, soz, sdx, sdy, sdz, smask, scap) = cols
 
         out = trace_packets(
-            Vec3(rows[:, 0], rows[:, 1], rows[:, 2]),
-            Vec3(rows[:, 3], rows[:, 4], rows[:, 5]),
-            pd, fine_td=fine_td, mask=rows[:, 6] > 0.5,
+            Vec3(sox, soy, soz), Vec3(sdx, sdy, sdz),
+            pd, fine_td=fine_td, mask=smask > 0.5,
             tile_size=tile_size, max_clusters=max_clusters,
             engine=engine, sort=False, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
-            t_cap=rows[:, 7] if t_cap is not None else None,
-            _need_out=_need_out,
+            t_cap=scap if t_cap is not None else None,
+            intersector=intersector, _need_out=_need_out,
         )
         hit, need = out if _need_out else (out, None)
-        # un-sort with the inverse permutation (argsort of perm; a row
-        # SCATTER measured slower than gather-by-inverse on TPU).
-        # Results travel as int32 rows: bitcasting tri ids to f32 would
-        # make them denormals, which the TPU flushes to zero in relayouts;
-        # t >= 0 always, and positive f32 bitcast to i32 is lossless.
-        cols = [jax.lax.bitcast_convert_type(hit.t, jnp.int32), hit.tri]
-        if _need_out:
-            cols.append(need.astype(jnp.int32))
-        if windowed:
-            inv = jnp.argsort(perm, axis=-1)
-            ncol = len(cols)
-            res = jnp.take_along_axis(
-                jnp.stack(cols, axis=1).reshape(NW, W, ncol),
-                inv[..., None], axis=1,
-            ).reshape(Rw, ncol)[:R]
-        else:
-            inv = jnp.argsort(perm)
-            res = jnp.take(jnp.stack(cols, axis=1), inv, axis=0)
-        hit = Hit(
-            tri=res[:, 1],
-            t=jax.lax.bitcast_convert_type(res[:, 0], jnp.float32),
+        # un-sort: one more payload sort keyed on the carried original lane
+        # index (unique, so is_stable is irrelevant). Windowed: each
+        # window's index set is its own contiguous range, so the in-window
+        # sort restores in-window order and the reshape restores the rest.
+        back = (sidx, hit.t, hit.tri) + (
+            (need.astype(jnp.int32),) if _need_out else ()
         )
+        if windowed:
+            back = jax.lax.sort(
+                tuple(c.reshape(NW, W) for c in back),
+                dimension=1, num_keys=1, is_stable=False,
+            )
+            back = tuple(c.reshape(Rw)[:R] for c in back)
+        else:
+            back = jax.lax.sort(back, num_keys=1, is_stable=False)
+        hit = Hit(tri=back[2], t=back[1])
         if _need_out:
-            return hit, res[:, 2] > 0
+            return hit, back[3] > 0
         return hit
 
     def padv(a, fill):
@@ -586,37 +598,50 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             [ox, oy, oz, dx, dy, dz, mrow, cap_row], axis=1
         )  # (Tl, 8, P): rays + lane mask (masked lanes must not block the
         #    kernel's early exit) + search cap; lane-dim P keeps it unpadded
+        bw = intersector == "bw"
+        from .pallas.dense_resident import pack_clusters_resident_bw
+        pack = pack_clusters_resident_bw if bw else pack_clusters_resident
         if C % 128 == 0 and resident_fits(K, C):
             # whole scene pinned in VMEM: every slot is pure VPU work
             t_best, tri_best = dense_intersect_resident(
-                ids, counts, entries, rays, pack_clusters_resident(pd),
+                ids, counts, entries, rays, pack(pd),
                 pack_cluster_boxes(pd), pd.num_tris, interpret=interpret,
+                bw=bw,
             )
         else:
             from .pallas.dense import dense_intersect
 
             t_best, tri_best = dense_intersect(
-                ids, counts, entries, rays, pack_clusters_resident(pd),
+                ids, counts, entries, rays, pack(pd),
                 pack_cluster_boxes(pd), pd.num_tris, interpret=interpret,
+                bw=bw,
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-                       t_cap=t_cap, need_out=_need_out)
+                       t_cap=t_cap, intersector=intersector,
+                       need_out=_need_out)
 
     o_b = Vec3(ox[:, :, None], oy[:, :, None], oz[:, :, None])
     d_b = Vec3(dx[:, :, None], dy[:, :, None], dz[:, :, None])
 
+    if intersector == "bw":
+        # one-time (K+1, C) precompute; the slot scan then gathers the
+        # cheap precomputed rows (same single-source formula as the packs)
+        p_n, p_m1, p_m2 = bw_precompute(pd.e1, pd.e2)
+
     def slot(carry, sid):  # sid: (Tl,)
         t_best, tri_best = carry  # (Tl, P)
-        v0 = gather(pd.v0, sid)   # (Tl, C)
-        e1 = gather(pd.e1, sid)
-        e2 = gather(pd.e2, sid)
         tids = jnp.take(pd.tri, sid, axis=0)  # (Tl, C)
-        ts = ray_triangle(
-            o_b, d_b,
-            Vec3(v0.x[:, None, :], v0.y[:, None, :], v0.z[:, None, :]),
-            Vec3(e1.x[:, None, :], e1.y[:, None, :], e1.z[:, None, :]),
-            Vec3(e2.x[:, None, :], e2.y[:, None, :], e2.z[:, None, :]),
-        )  # (Tl, P, C)
+
+        def mid(v):
+            g = gather(v, sid)    # (Tl, C)
+            return Vec3(g.x[:, None, :], g.y[:, None, :], g.z[:, None, :])
+
+        if intersector == "bw":
+            ts = ray_triangle_bw(o_b, d_b, mid(pd.v0),
+                                 mid(p_n), mid(p_m1), mid(p_m2))
+        else:
+            ts = ray_triangle(o_b, d_b, mid(pd.v0), mid(pd.e1), mid(pd.e2))
+        # ts: (Tl, P, C)
         valid = (
             (tids[:, None, :] < T)
             & (ts > 0.0)
@@ -637,11 +662,12 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     )
     (t_best, tri_best), _ = jax.lax.scan(slot, init, ids.T)
     return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-                   t_cap=t_cap, need_out=_need_out)
+                   t_cap=t_cap, intersector=intersector,
+                   need_out=_need_out)
 
 
 def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-            t_cap=None, need_out: bool = False):
+            t_cap=None, intersector: str = "bw", need_out: bool = False):
     """Trim padding, apply the lane mask, the t-cap, and the fallback.
 
     ``need_out=True`` skips the fallback and instead returns the mask of
@@ -678,7 +704,7 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
 
     # ---- overflow fallback (unconditional correctness) ---------------------
     if fine_td is not None:
-        fb = trace(o, d, fine_td, mask=need_fb)
+        fb = trace(o, d, fine_td, mask=need_fb, intersector=intersector)
         t_flat = jnp.where(need_fb, fb.t, t_flat)
         tri_flat = jnp.where(need_fb, fb.tri, tri_flat)
 

@@ -51,6 +51,7 @@ from .dense_resident import (  # shared layout + math + constants
     MAX_SHORTLIST,
     MAX_TRIS,
     _box_hit_row,
+    _bw_fold_pc,
     _mt_fold_pc,
     pack_cluster_boxes,
     pack_clusters_resident,
@@ -67,7 +68,8 @@ __all__ = [
 ]
 
 
-def _make_kernel(unroll):
+def _make_kernel(unroll, fold=None):
+    fold = fold or _mt_fold_pc
     assert unroll <= _NBUF
 
     def _kernel(meta_ref, boxes_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
@@ -180,7 +182,7 @@ def _make_kernel(unroll):
                             cl_hbm.at[sids[u]], buf.at[pfx[u]],
                             sem.at[pfx[u]]).wait()
                         cl = buf[pfx[u]]               # (16, C) VMEM
-                        return _mt_fold_pc(
+                        return fold(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
                     t_best, id_best = jax.lax.cond(
@@ -211,16 +213,19 @@ def _make_kernel(unroll):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "bw"))
 def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
-                    interpret: bool = False, unroll: int = _NBUF):
+                    interpret: bool = False, unroll: int = _NBUF,
+                    bw: bool = False):
     """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
     counts:    (Tl,) i32 — candidates per tile (<= M <= MAX_SHORTLIST)
     entries:   (Tl, M) f32 — conservative entry distance per slot (+inf pad)
     rays:      (Tl, 8, P) f32 — o.xyz / d.xyz / lane-mask / search-cap
-    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (stays in HBM)
+    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (stays in HBM);
+               with ``bw=True``, from pack_clusters_resident_bw (the
+               Baldwin-Weber layout + _bw_fold_pc fold)
     boxes:     (K+1, 8) f32 from pack_cluster_boxes (SMEM, scalar gates)
 
     Returns (t (Tl, P) f32, tri (Tl, P) i32) — closest hit per ray over the
@@ -273,7 +278,7 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(unroll),
+        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,

@@ -179,6 +179,96 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     return t_out, id_out
 
 
+def pack_clusters_resident_bw(pd) -> jnp.ndarray:
+    """PacketData -> (K+1, 16, C) f32 Baldwin-Weber precomputed blocks.
+
+    Same layout contract as pack_clusters_resident but the 9 MT attribute
+    rows become the BW rows: n.xyz (unnormalized e1 x e2), v0.xyz, and two
+    barycentric row functionals m1 = (e2 x n)/|n|^2, m2 = (n x e1)/|n|^2.
+    The fold evaluates everything relative to s = o - v0 (t = -(n.s)/(n.d),
+    b_u = m1.(s + t d), b_v = m2.(s + t d)) — anchoring at v0 keeps the
+    rounding profile of MT (a plane-offset form d_w = -(n.v0) measured
+    4.5e-5 relative t error from cancellation; this form matches MT to
+    ~2e-7). Row 12 carries ids (id + 2^23 exact floats). Degenerate /
+    padding triangles (n = 0) reject via the parallel test
+    |n . d| < EPS_PARALLEL, exactly like MT's |a| < eps (a = -(n . d) in
+    exact arithmetic, modelLoader.h:56-60)."""
+    from ..intersect import bw_precompute
+
+    K1, C = pd.tri.shape
+    ids_f = pd.tri.astype(jnp.float32) + _ID_OFFSET
+    n, m1, m2 = bw_precompute(pd.e1, pd.e2)
+
+    z = jnp.zeros_like(n.x)
+    packed = jnp.stack(
+        [n.x, n.y, n.z, pd.v0.x, pd.v0.y, pd.v0.z,
+         m1.x, m1.y, m1.z, m2.x, m2.y, m2.z,
+         ids_f, z, z, z], axis=1)  # (K+1, 16, C)
+    assert packed.shape[1] == _ATTR_ROWS
+    if C % 128 != 0:
+        Cp = -(-C // 128) * 128
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((K1, _ATTR_ROWS, Cp - C), jnp.float32)],
+            axis=2)
+    return packed
+
+
+def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
+    """Baldwin-Weber fold: one (16, C) BW block against one ray tile.
+
+    Decision-equivalent to _mt_fold_pc in exact arithmetic (the parallel
+    predicate |n.d| < eps equals MT's |a| < eps since a = -(n.d); the
+    barycentric signs and the 1-bu-bv >= 0 test match b0/b1/b2), ~20%
+    fewer VPU ops: the per-triangle cross products moved to pack time."""
+    nx = cl[0:1, :]
+    ny = cl[1:2, :]
+    nz = cl[2:3, :]
+    v0x = cl[3:4, :]
+    v0y = cl[4:5, :]
+    v0z = cl[5:6, :]
+    m1x = cl[6:7, :]
+    m1y = cl[7:8, :]
+    m1z = cl[8:9, :]
+    m2x = cl[9:10, :]
+    m2y = cl[10:11, :]
+    m2z = cl[11:12, :]
+    tid = (cl[12:13, :] - _ID_OFFSET).astype(jnp.int32)
+
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    nd = dx * nx + dy * ny + dz * nz
+    parallel = jnp.abs(nd) < EPS_PARALLEL
+    # unguarded 1/nd: parallel lanes reject regardless; NaNs never escape a
+    # comparison (same pattern as the MT fold)
+    inv = 1.0 / nd
+    t = -(sx * nx + sy * ny + sz * nz) * inv
+    wx = sx + t * dx
+    wy = sy + t * dy
+    wz = sz + t * dz
+    bu = m1x * wx + m1y * wy + m1z * wz
+    bv = m2x * wx + m2y * wy + m2z * wz
+    bw = 1.0 - bu - bv
+    reject = parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
+    ts = jnp.where(reject, MAX_FLOAT, t)
+
+    valid = (tid < num_tris) & (ts > 0.0)
+    ts = jnp.where(valid, ts, MAX_FLOAT)
+
+    t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
+    is_min = (ts == t_new) & (ts < MAX_FLOAT)
+    id_new = jnp.min(
+        jnp.where(is_min, tid, _TRI_SENTINEL), axis=1, keepdims=True
+    )
+    better = (t_new < t_best) | (
+        (t_new == t_best) & (id_new < id_best)
+        & (id_new < _TRI_SENTINEL) & (id_best >= 0)
+    )
+    t_out = jnp.where(better, t_new, t_best)
+    id_out = jnp.where(better, id_new, id_best)
+    return t_out, id_out
+
+
 def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
     """Does each ray enter this cluster's AABB within its current
     [0, t_best] interval? ROW layout: rays along LANES ((1, P) slices of
@@ -211,7 +301,8 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 # rounds unroll 4 (measured: unroll 4 on a budget-2 round cost +50%).
 
 
-def _make_kernel(unroll):
+def _make_kernel(unroll, fold=None):
+    fold = fold or _mt_fold_pc
     def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
         i = pl.program_id(0)
@@ -326,7 +417,7 @@ def _make_kernel(unroll):
 
                         def do_fold(tb, ib, sid=sid):
                             cl = cl_ref[sid]           # (16, C), VMEM slice
-                            return _mt_fold_pc(
+                            return fold(
                                 cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
                         t_best, id_best = jax.lax.cond(
@@ -362,16 +453,18 @@ def _make_kernel(unroll):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "bw"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
-                             unroll: int | None = None):
+                             unroll: int | None = None, bw: bool = False):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
     rays:      (Tl, 8, P) f32 — rows o.xyz / d.xyz / lane-mask / exit-cap
                (lane-dim P: an unpadded HBM layout — see the kernel note)
-    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!)
+    cl_packed: (K+1, 16, C) f32 from pack_clusters_resident (fits VMEM!);
+               with ``bw=True``, from pack_clusters_resident_bw (the
+               Baldwin-Weber precomputed layout + _bw_fold_pc fold)
     boxes:     (K+1, 8) f32 from pack_cluster_boxes (SMEM, scalar gates)
 
     Returns (t (Tl, P) f32, tri (Tl, P) i32).
@@ -426,7 +519,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
         blk *= int(s)
     vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
     out = pl.pallas_call(
-        _make_kernel(unroll),
+        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),

@@ -21,11 +21,35 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .vecmath import Vec3, cross, gather
 
 _ID_OFFSET = float(1 << 23)
+
+
+def _unpackable(r):
+    """Make a gathered (R, 16) row block cheap to column-slice.
+
+    Minor-dim slices of a (1M, 16) f32 array each relayout through padded
+    lane tiles — the xprof trace of the pt_nee glue showed the fused
+    unpack kernels running at 10 GB/s, 10.6 ms per bounce, the single
+    biggest glue cost. Multiplying by an f32 identity first turns the
+    extraction into one MXU pass whose output the column slices read for
+    free: measured 10.5 -> 4.3 ms at 1M rows (tools/prof_unpack.py, v5e).
+
+    precision=HIGHEST is required for bit-exactness (verified exact:
+    products by 1.0/0.0 and additions of 0.0 are exact for finite table
+    values, and the f32_f32_f32 pass keeps all 24 mantissa bits; DEFAULT
+    is bf16-split and loses low bits). Tables are finite by construction
+    (positions, albedo, emission, id + 2^23), so no NaN*0 hazard.
+    """
+    eye = jnp.eye(r.shape[-1], dtype=r.dtype)
+    return jax.lax.dot_general(
+        r, eye, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 class ShadeTable(NamedTuple):
@@ -65,7 +89,7 @@ def make_shade_table(scene) -> ShadeTable:
 
 def tri_shading(table: ShadeTable, tri):
     """tri: (R,) i32 >= 0. Returns (normal, albedo, emission, mat)."""
-    r = jnp.take(table.tri_rows, tri, axis=0, mode="clip")
+    r = _unpackable(jnp.take(table.tri_rows, tri, axis=0, mode="clip"))
     n = Vec3(r[:, 0], r[:, 1], r[:, 2])
     alb = Vec3(r[:, 3], r[:, 4], r[:, 5])
     emi = Vec3(r[:, 6], r[:, 7], r[:, 8])
@@ -100,7 +124,7 @@ def make_light_table(scene) -> LightTable:
 def light_lookup(table: LightTable, slot, with_emission: bool = False):
     """slot: (R,) i32 in [0, L] (L = fallback). Returns
     (v0, a1, a2, normal, tri[, emission]) for the picked lights."""
-    r = jnp.take(table.light_rows, slot, axis=0, mode="clip")
+    r = _unpackable(jnp.take(table.light_rows, slot, axis=0, mode="clip"))
     v0 = Vec3(r[:, 0], r[:, 1], r[:, 2])
     a1 = Vec3(r[:, 3], r[:, 4], r[:, 5])
     a2 = Vec3(r[:, 6], r[:, 7], r[:, 8])
@@ -148,8 +172,9 @@ def hit_shading(shade_tab: ShadeTable, sph_tab, num_tris: int, tri, pos):
     if sph_tab is None:
         return n, alb, emi
     is_s = tri >= num_tris
-    r = jnp.take(sph_tab.sph_rows, jnp.clip(tri - num_tris, 0, None),
-                 axis=0, mode="clip")
+    r = _unpackable(
+        jnp.take(sph_tab.sph_rows, jnp.clip(tri - num_tris, 0, None),
+                 axis=0, mode="clip"))
     c = Vec3(r[:, 0], r[:, 1], r[:, 2])
     sn = normalized_safe(pos - c)
     n = vwhere(is_s, sn, n)

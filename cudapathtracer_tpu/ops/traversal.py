@@ -33,7 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.constants import MAX_FLOAT
-from .intersect import ray_aabb, ray_sphere, ray_triangle
+from .intersect import (
+    bw_precompute,
+    ray_aabb,
+    ray_sphere,
+    ray_triangle,
+    ray_triangle_any,
+    ray_triangle_bw,
+)
 from .vecmath import Vec3, gather
 
 
@@ -153,13 +160,19 @@ class _LoopState(NamedTuple):
 
 
 def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
-          with_stats: bool = False, num_tris_static: int | None = None):
+          with_stats: bool = False, num_tris_static: int | None = None,
+          intersector: str = "bw"):
     """Closest-hit trace for a batch of rays.
 
     o, d: Vec3 with (R,) components. Returns Hit (and TraceStats when
     ``with_stats``). Semantics match the reference ``trace``
     (kernel.cu:112-161): keep the closest triangle with ``0 < t < closest``;
     miss leaves t = MAX_FLOAT, tri = -1.
+
+    ``intersector``: 'bw' (Baldwin-Weber, the default everywhere — see
+    intersect.ray_triangle_bw) or 'mt' (the reference's Moller-Trumbore).
+    Decision-equivalent in exact arithmetic; all engines must run the SAME
+    choice for bit-parity.
 
     ``mask``: optional (R,) bool — lanes with False start at the done
     cursor (they report a miss and cost no traversal steps). The batch
@@ -212,7 +225,8 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
         e2 = gather(td.leaf_e2, lid)
         tri_ids = jnp.take(td.leaf_tri, lid, axis=0, mode="clip")  # (R, L)
 
-        ts = ray_triangle(o_b, d_b, v0, e1, e2)  # (R, L)
+        ts = ray_triangle_any(o_b, d_b, v0, e1, e2,
+                              intersector=intersector)  # (R, L)
         valid = (
             do_leaf[:, None]
             & (tri_ids < td.num_tris)
@@ -263,11 +277,15 @@ def trace(o: Vec3, d: Vec3, td: TraceData, mask=None, t_clip: bool = True,
 # brute-force oracle (and small-scene fast path)
 # ---------------------------------------------------------------------------
 
-def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
+def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512,
+                     intersector: str = "bw"):
     """All-pairs closest hit: every ray against every triangle, in chunks.
 
     ``mask`` is accepted for API parity with ``trace``; brute force does
     all lanes regardless (fixed work), masked lanes simply report a miss.
+    ``intersector``: 'bw' (default; attributes precomputed ONCE over the
+    triangle SoA via intersect.bw_precompute, so the chunk fold runs the
+    cheap precomputed form) or 'mt'.
 
     Zero gathers in the inner loop (triangle chunks are contiguous slices) —
     this is pure full-width VPU work and serves both as the correctness
@@ -301,15 +319,27 @@ def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
     o_b = Vec3(o.x[:, None], o.y[:, None], o.z[:, None])
     d_b = Vec3(d.x[:, None], d.y[:, None], d.z[:, None])
 
+    bw = intersector == "bw"
+    if bw:
+        # precompute once over the padded SoA (degenerate pads: n = m = 0
+        # -> parallel-reject, same guarantee as MT's zero edges), so the
+        # chunk fold runs the cheap precomputed form
+        attrs = bw_precompute(e1, e2)
+    else:
+        attrs = (e1, e2)
+
     def chunk_fn(carry, args):
         t_best, tri_best = carry
-        cv0, ce1, ce2, cids = args
-        ts = ray_triangle(
-            o_b, d_b,
-            Vec3(cv0.x[None, :], cv0.y[None, :], cv0.z[None, :]),
-            Vec3(ce1.x[None, :], ce1.y[None, :], ce1.z[None, :]),
-            Vec3(ce2.x[None, :], ce2.y[None, :], ce2.z[None, :]),
-        )  # (R, C)
+        cv0, cids = args[0], args[-1]
+
+        def b(v):
+            return Vec3(v.x[None, :], v.y[None, :], v.z[None, :])
+
+        if bw:
+            ts = ray_triangle_bw(o_b, d_b, b(cv0),
+                                 b(args[1]), b(args[2]), b(args[3]))
+        else:
+            ts = ray_triangle(o_b, d_b, b(cv0), b(args[1]), b(args[2]))
         valid = (cids[None, :] >= 0) & (ts > 0.0) & (ts <= t_best[:, None])
         ts = jnp.where(valid, ts, MAX_FLOAT)
         t_best, tri_best = _closest_update(
@@ -320,12 +350,10 @@ def trace_bruteforce(o: Vec3, d: Vec3, scene, mask=None, chunk: int = 512):
     def resh(a):
         return a.reshape(-1, chunk)
 
-    args = (
-        Vec3(resh(v0.x), resh(v0.y), resh(v0.z)),
-        Vec3(resh(e1.x), resh(e1.y), resh(e1.z)),
-        Vec3(resh(e2.x), resh(e2.y), resh(e2.z)),
-        resh(tri_ids),
-    )
+    def reshv(v):
+        return Vec3(resh(v.x), resh(v.y), resh(v.z))
+
+    args = (reshv(v0), *(reshv(a) for a in attrs), resh(tri_ids))
     R = o.x.shape[0]
     init = (
         jnp.full((R,), MAX_FLOAT, jnp.float32),

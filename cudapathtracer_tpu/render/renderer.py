@@ -100,7 +100,8 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
 
     if cfg.traversal == "brute":
         def trace_fn(o, d, mask, t_cap=None):
-            h = traversal.trace_bruteforce(o, d, scene, mask=mask)
+            h = traversal.trace_bruteforce(o, d, scene, mask=mask,
+                                           intersector=cfg.intersector)
             return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
 
         return with_spheres(trace_fn), None
@@ -144,12 +145,14 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 super_factor=cfg.super_factor,
                 super_slots=cfg.super_slots,
                 t_cap=t_cap,
+                intersector=cfg.intersector,
             )
 
         return with_spheres(trace_fn), td
 
     def trace_fn(o, d, mask, t_cap=None):
-        h = traversal.trace(o, d, td, mask=mask)
+        h = traversal.trace(o, d, td, mask=mask,
+                            intersector=cfg.intersector)
         return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
 
     return with_spheres(trace_fn), td

@@ -79,6 +79,17 @@ class RenderConfig:
     #                                 bit-identical under any grouping
     #                                 (ops/packets.py). Must be a multiple
     #                                 of tile_size.
+    intersector: str = "bw"         # triangle test: 'bw' (Baldwin-Weber
+    #                                 precomputed form — decision-equivalent
+    #                                 to the reference's Moller-Trumbore in
+    #                                 exact arithmetic, ~20% fewer VPU ops,
+    #                                 measured -3%/-7% per trace at 20k/328k
+    #                                 tris) | 'mt' (the reference's exact
+    #                                 formulation, modelLoader.h:49-123).
+    #                                 Every engine runs the selected one, so
+    #                                 results stay engine-independent; the
+    #                                 two differ only on exact-tie shared
+    #                                 edges (t to ~2e-7 relative; §7 ledger).
     # quirk flags (defaults = reference behavior; SURVEY.md §7 ledger)
     orthonormal_frame: bool = False
     light_normal_mode: str = "fixed"
@@ -108,3 +119,4 @@ class RenderConfig:
         assert self.light_normal_mode in ("fixed", "true")
         assert self.packet_engine in ("auto", "pallas", "xla",
                                       "pallas_interpret")
+        assert self.intersector in ("bw", "mt")

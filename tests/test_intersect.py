@@ -110,3 +110,65 @@ def test_ray_sphere():
     t_in = intersect.ray_sphere(o_in, v3((0, 0, 1)), v3((0, 0, 0)),
                                 jnp.asarray([1.0]))
     np.testing.assert_allclose(float(t_in[0]), 1.0, rtol=1e-6)
+
+
+def test_bw_agrees_with_mt_random():
+    """Baldwin-Weber is decision-equivalent to Moller-Trumbore: on random
+    ray/triangle pairs the hit/miss verdicts agree (away from exact-tie
+    boundaries) and hit t agree to ~1e-5 relative (BW re-derivation vs the
+    MT epsilon ledger, modelLoader.h:49-123)."""
+    rng = np.random.default_rng(7)
+    N = 4096
+    v0 = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+                for _ in range(3)))
+    e1 = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+                for _ in range(3)))
+    e2 = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+                for _ in range(3)))
+    o = Vec3(*(jnp.asarray(rng.uniform(-3, 3, N), jnp.float32)
+               for _ in range(3)))
+    d = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+               for _ in range(3)))
+    t_mt = np.asarray(intersect.ray_triangle(o, d, v0, e1, e2))
+    t_bw = np.asarray(
+        intersect.ray_triangle_any(o, d, v0, e1, e2, intersector="bw"))
+    hit_mt = t_mt < MAX_FLOAT
+    hit_bw = t_bw < MAX_FLOAT
+    # verdicts may flip only on near-boundary cases; require them rare
+    flip = hit_mt != hit_bw
+    assert flip.mean() < 2e-3, f"verdict flips {flip.mean():.4f}"
+    both = hit_mt & hit_bw
+    np.testing.assert_allclose(t_bw[both], t_mt[both], rtol=2e-5, atol=2e-6)
+
+
+def test_bw_degenerate_triangle_rejects():
+    """Zero-area (padding) triangles must miss under BW exactly like MT."""
+    z = v3((0, 0, 0))
+    o = v3((0, 0, -1))
+    d = v3((0, 0, 1))
+    t = intersect.ray_triangle_any(o, d, z, z, z, intersector="bw")
+    assert float(t[0]) == MAX_FLOAT
+    # collinear edges (zero normal) too
+    e = v3((1, 1, 1))
+    t2 = intersect.ray_triangle_any(o, d, z, e, e, intersector="bw")
+    assert float(t2[0]) == MAX_FLOAT
+
+
+def test_bw_precompute_eager_matches_jit():
+    """bw_precompute is jit-wrapped so eager callers get the identical
+    FMA-contracted bits the in-jit engines compute (the engine bit-parity
+    precondition; see the contraction note in ops/intersect.py)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    N = 512
+    e1 = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+                for _ in range(3)))
+    e2 = Vec3(*(jnp.asarray(rng.uniform(-1, 1, N), jnp.float32)
+                for _ in range(3)))
+    a = intersect.bw_precompute(e1, e2)                    # eager call
+    b = jax.jit(lambda x, y: intersect.bw_precompute(x, y))(e1, e2)
+    for va, vb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(va.x), np.asarray(vb.x))
+        np.testing.assert_array_equal(np.asarray(va.y), np.asarray(vb.y))
+        np.testing.assert_array_equal(np.asarray(va.z), np.asarray(vb.z))

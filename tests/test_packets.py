@@ -302,3 +302,40 @@ def test_multi_round_splitting_exact(setup):
                                 first_round_slots=1, sort=True)
     hb2 = traversal.trace_bruteforce(o, d, scene, mask=mask)
     np.testing.assert_array_equal(np.asarray(hp2.tri), np.asarray(hb2.tri))
+
+
+def test_packets_match_brute_mt_intersector(setup):
+    """The legacy 'mt' intersector stays selectable and engine-consistent:
+    packets(mt) == brute(mt) bitwise (cfg.intersector plumbs it through
+    every engine including the fine-BVH fallback)."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene, intersector="mt")
+    hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, intersector="mt")
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_packets_bw_vs_mt_only_tie_flips(setup):
+    """BW and MT agree on t to ~1e-5 relative wherever both report a hit.
+
+    Verdict flips (hit vs miss) DO occur, but only on shared-edge seams:
+    this test camera is a 32x32 no-jitter pinhole over an axis-aligned
+    cornell box, so a band of rays lands EXACTLY on the quad-diagonal
+    seams (barycentric b2 ~ 3e-7). There MT's rounding can reject BOTH
+    triangles of the quad (the watertightness crack MT always had —
+    reference modelLoader.h rejects on any strictly-negative barycentric)
+    while BW's rounding accepts one, or vice versa. Each intersector is
+    self-consistent across engines (the bit-parity tests above); this test
+    pins the cross-intersector contract: hit-t agreement + flips bounded
+    to the pathological seam band."""
+    scene, td, pd, o, d = setup
+    h_bw = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                 max_clusters=8, intersector="bw")
+    h_mt = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                 max_clusters=8, intersector="mt")
+    t_bw, t_mt = np.asarray(h_bw.t), np.asarray(h_mt.t)
+    both = (t_bw < 1e5) & (t_mt < 1e5)
+    np.testing.assert_allclose(t_bw[both], t_mt[both], rtol=2e-5, atol=2e-6)
+    flips = (t_bw < 1e5) != (t_mt < 1e5)
+    assert flips.mean() < 0.06, f"seam-flip fraction {flips.mean():.4f}"
