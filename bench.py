@@ -66,6 +66,7 @@ def main():
             sort_window=int(os.environ.get("BENCH_SORTWIN", "0")),
             cluster_size=(int(os.environ["BENCH_C"])
                           if "BENCH_C" in os.environ else None),
+            tile_size=int(os.environ.get("BENCH_TILE", "128")),
             reuse_primary_hit=True)  # pinhole camera, no jitter
         t0 = time.time()
         bvh = build_bvh_for_scene(scene, cfg.leaf_size,
@@ -124,9 +125,14 @@ def main():
 
         bsize = 512
         bspp = max(2, spp // 4)
+        bsb = int(os.environ.get("BENCH_BDPT_SBATCH", "2"))
+        # BDPT's batched 2R/4R traces prefer bigger tiles than pt_nee's
+        # bounce traces (measured: 20.2 Mrays/s at P=256 vs 16.3 at P=128)
+        btile = int(os.environ.get("BENCH_BDPT_TILE", "256"))
         bcfg = dataclasses.replace(cfg, width=bsize, height=bsize,
                                    integrator="bdpt", spp=bspp,
-                                   samples_per_call=bspp, sample_batch=1)
+                                   samples_per_call=bspp, sample_batch=bsb,
+                                   tile_size=btile)
         bcam = make_camera(pos=(0.0, 2.0, 3.4), width=bsize, height=bsize,
                            focal_length=2.0)
         key = jax.random.PRNGKey(1234)

@@ -217,7 +217,7 @@ def ray_sort_keys(o: Vec3, d: Vec3, mask, lo: Vec3, hi: Vec3):
 
 def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   fine_td: TraceData | None = None, mask=None,
-                  tile_size: int = 256, max_clusters: int = 32,
+                  tile_size: int = 128, max_clusters: int = 32,
                   engine: str = "xla", sort: bool = False,
                   rounds: int = 1, first_round_slots: int = 3,
                   sort_window: int = 0, two_level: bool | None = None,

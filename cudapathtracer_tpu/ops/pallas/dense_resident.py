@@ -471,7 +471,10 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     """
     Tl, M = ids.shape
     if unroll is None:
-        unroll = 2 if M <= 4 else 4
+        # r3 sweep: u8 == u4 at 20k tris (43.20 vs 43.28 ms/trace) and 4%
+        # faster at 328k (81.5 vs 85.1) — fewer while_loop iterations, same
+        # one-sync-per-group cost amortized over more slots.
+        unroll = 2 if M <= 4 else 8
     P = rays.shape[2]
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width

@@ -37,7 +37,14 @@ class RenderConfig:
     #                                 updates stay sequential). Costs ~S x
     #                                 transient HBM for the in-flight rays.
     # packet-traversal knobs (ops/packets.py)
-    tile_size: int = 256            # rays per packet tile
+    tile_size: int = 128            # rays per packet tile. P=128 beats 256
+    #                                 for pt_nee bounce traces at every scale
+    #                                 measured in r3 (43.2 vs 53.2 ms/trace at
+    #                                 20k tris, 81.5 vs 103 ms at 328k): the
+    #                                 (P, C) fold halves and the early exit
+    #                                 fires sooner over fewer lanes. BDPT's
+    #                                 batched 2R/4R traces prefer 256 (20.2 vs
+    #                                 16.3 Mrays/s) — bench.py sets it there.
     cluster_size: int | None = None  # triangles per scene cluster; None =
     #                                  adaptive (~T/8192 rounded to 128s —
     #                                  bigger scenes get bigger clusters)

@@ -11,12 +11,15 @@ Knobs swept are listed in CONFIGS below.
 """
 
 import functools
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cudapathtracer_tpu import RenderConfig, make_camera
 from cudapathtracer_tpu.models import procedural
@@ -43,11 +46,13 @@ R = SIZE * SIZE
 # per-ray fine-BVH fallback (measured 53 s/trace at C=256!). Keep K < 512
 # (C=1024) at sponza scale so the flat cull drops nothing.
 CONFIGS = [
-    ("P256 u4 r1 C=adaptive", 256, 4, 0, 1, None),
-    ("P256 u4 r1 C=256", 256, 4, 0, 1, 256),
-    ("P256 u4 r1 C=512", 256, 4, 0, 1, 512),
-    ("P256 u4 r1 C=1024", 256, 4, 0, 1, 1024),
-    ("P256 u2 r1 C=1024", 256, 2, 0, 1, 1024),
+    ("P128 u4 r1 C=adaptive", 128, 4, 0, 1, None),
+    ("P128 u2 r1 C=adaptive", 128, 2, 0, 1, None),
+    ("P128 u8 r1 C=adaptive", 128, 8, 0, 1, None),
+    ("P64 u4 r1 C=adaptive", 64, 4, 0, 1, None),
+    ("P128 u4 r2 C=adaptive", 128, 4, 0, 2, None),
+    ("P128 u4 r1 C=128", 128, 4, 0, 1, 128),
+    ("P128 u4 r1 C=512", 128, 4, 0, 1, 512),
 ]
 
 
@@ -134,6 +139,9 @@ def main():
                     sort=True, rounds=rounds, first_round_slots=2,
                     sort_window=W))
                 timed(label, lambda o, d: fn(o, d), o1, d1)
+            except Exception as e:  # e.g. Mosaic VMEM overflow at big P*C
+                print(f"{label:28s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
             finally:
                 dr.dense_intersect_resident = orig
 
