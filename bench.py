@@ -38,6 +38,7 @@ def main():
     from cudapathtracer_tpu.models import procedural
     from cudapathtracer_tpu.render.renderer import (
         build_bvh_for_scene,
+        make_packet_prep,
         render_batch_jit,
     )
 
@@ -75,13 +76,14 @@ def main():
         cam = make_camera(pos=(0.0, 2.0, 3.4), width=size, height=size,
                           focal_length=2.0)
         key = jax.random.PRNGKey(1234)
+        prep = make_packet_prep(scene, cfg, bvh)
 
         # warmup / compile — must use the SAME num_samples as the timed
         # window (num_samples is a static jit arg; a different value
         # recompiles) and a host readback to really synchronize
         # (block_until_ready is unreliable through remote-TPU tunnels).
         st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg),
-                              spp)
+                              spp, prep=prep)
         float(np.asarray(st.img.x[0]))
 
         # timed window: spp samples; best of N (the remote-TPU tunnel's
@@ -90,7 +92,7 @@ def main():
         for _ in range(repeats):
             t0 = time.time()
             st = render_batch_jit(scene, bvh, cam, cfg, key,
-                                  init_accum(cfg), spp)
+                                  init_accum(cfg), spp, prep=prep)
             float(np.asarray(st.img.x[0]))
             dt = min(dt, time.time() - t0)
         rays = cfg.num_pixels * spp * (cfg.num_bounces + 1)
@@ -136,14 +138,15 @@ def main():
         bcam = make_camera(pos=(0.0, 2.0, 3.4), width=bsize, height=bsize,
                            focal_length=2.0)
         key = jax.random.PRNGKey(1234)
+        bprep = make_packet_prep(scene, bcfg, bvh)
         st = render_batch_jit(scene, bvh, bcam, bcfg, key,
-                              init_accum(bcfg), bspp)
+                              init_accum(bcfg), bspp, prep=bprep)
         float(np.asarray(st.img.x[0]))
         bdt = float("inf")
         for _ in range(3):
             t0 = time.time()
             st = render_batch_jit(scene, bvh, bcam, bcfg, key,
-                                  init_accum(bcfg), bspp)
+                                  init_accum(bcfg), bspp, prep=bprep)
             float(np.asarray(st.img.x[0]))
             bdt = min(bdt, time.time() - t0)
         brays = bcfg.num_pixels * bspp * (bcfg.num_bounces + 1)

@@ -23,6 +23,7 @@ conservative entry distance.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -155,15 +156,17 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     b0 = sx * qx + sy * qy + sz * qz
     b1 = rx * dx + ry * dy + rz * dz
     b2 = 1.0 - b0 - b1
-    reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0)
     t = e2x * rx + e2y * ry + e2z * rz
-    ts = jnp.where(reject, MAX_FLOAT, t)
-
     # NOTE no (ts <= t_best) term: the closest-fold below makes it
     # redundant (candidates worse than t_best lose `better`; equal-t
-    # candidates resolve by the same lower-id rule either way)
-    valid = (tid < num_tris) & (ts > 0.0)
-    ts = jnp.where(valid, ts, MAX_FLOAT)
+    # candidates resolve by the same lower-id rule either way). No
+    # (tid < num_tris) term either: every pad/sentinel triangle is packed
+    # with all-zero vertices (make_packet_data zeroes them), so a == 0 and
+    # the parallel test rejects it — the id range check was redundant.
+    # t <= 0 folds the old (ts > 0) validity in; NaN t (parallel lanes'
+    # unguarded 1/a) compares False but `parallel` already covers those.
+    reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0) | (t <= 0.0)
+    ts = jnp.where(reject, MAX_FLOAT, t)
 
     t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
     is_min = (ts == t_new) & (ts < MAX_FLOAT)
@@ -249,11 +252,12 @@ def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     bu = m1x * wx + m1y * wy + m1z * wz
     bv = m2x * wx + m2y * wy + m2z * wz
     bw = 1.0 - bu - bv
-    reject = parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
+    # Same trimmed validity as _mt_fold_pc: pad/sentinel triangles are
+    # all-zero -> n = 0 -> parallel reject covers (tid < num_tris), and
+    # (t <= 0.0) folds the old (ts > 0) check into the one select.
+    reject = (parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
+              | (t <= 0.0))
     ts = jnp.where(reject, MAX_FLOAT, t)
-
-    valid = (tid < num_tris) & (ts > 0.0)
-    ts = jnp.where(valid, ts, MAX_FLOAT)
 
     t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
     is_min = (ts == t_new) & (ts < MAX_FLOAT)
@@ -301,7 +305,7 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 # rounds unroll 4 (measured: unroll 4 on a budget-2 round cost +50%).
 
 
-def _make_kernel(unroll, fold=None):
+def _make_kernel(unroll, fold=None, fast=2):
     fold = fold or _mt_fold_pc
     def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
@@ -348,21 +352,7 @@ def _make_kernel(unroll, fold=None):
                 s, done, t_best, id_best = carry
                 return jnp.logical_not(done)
 
-            # guarded reciprocals: a zero component would make the slab test
-            # produce 0*inf = NaN, whose comparisons are False — the gate
-            # would then UNconservatively skip a plausible cluster
-            def _inv(d_):
-                return 1.0 / jnp.where(jnp.abs(d_) < 1e-30,
-                                       jnp.where(d_ < 0, -1e-30, 1e-30), d_)
-
-            oxr = row[0:1, :]
-            oyr = row[1:2, :]
-            ozr = row[2:3, :]
-            idxr = _inv(row[3:4, :])
-            idyr = _inv(row[4:5, :])
-            idzr = _inv(row[5:6, :])
-
-            def make_body(unroll):
+            def make_body(unroll, oxr, oyr, ozr, idxr, idyr, idzr):
                 def body(carry):
                     s, done, t_best, id_best = carry
                     # Phase 1 — gate ALL unroll slots against the group-start
@@ -432,14 +422,53 @@ def _make_kernel(unroll, fold=None):
                     return (nxt, exhausted | no_open, t_best, id_best)
                 return body
 
-            body = make_body(unroll)
+            # COUNT LADDER (r3): half the entry-sorted tiles carry <= 1
+            # candidate (measured p50 = 1 at both 20k and 328k tris), yet
+            # the while-loop path charges them a full vector->scalar
+            # bitmask sync (~0.7 us) + `unroll` box gates + lax.conds.
+            # Tiles with cnt <= `fast` instead fold EXACTLY their cnt
+            # slots unconditionally — no gates, no sync, no early exit
+            # (folding <= `fast` slots outright is cheaper than one sync).
+            # cnt == 0 tiles (straggler-compacted dead tiles; the cull
+            # forces cnt = 0 whenever every lane is masked) fall out of
+            # the same switch as branch 0, which also retires the old
+            # per-tile jnp.max(t_init) all-dead probe — itself a
+            # vector->scalar sync paid by EVERY tile.
+            def make_fast(n):
+                def fast_tile(t0, i0):
+                    tb, ib = t0, i0
+                    for u in range(n):
+                        sid = slid[g, jnp.minimum(1 + u, W - 1)]
+                        cl = cl_ref[sid]       # (16, C), VMEM slice
+                        tb, ib = fold(
+                            cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
+                    return tb, ib
+                return fast_tile
 
-            # all-dead tiles (every lane masked: t_init all -3e38, i.e. < 0)
-            # skip the loop entirely — common in late straggler rounds where
-            # resolved rays compact into fully masked tiles
-            init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
-                    t_init, id_init)
-            _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
+            def loop_tile(t0, i0):
+                # gate precompute lives here so fast-path tiles never pay
+                # for it. Guarded reciprocals: a zero direction component
+                # would make the slab test produce 0*inf = NaN, whose
+                # comparisons are False — the gate would then
+                # UNconservatively skip a plausible cluster.
+                def _inv(d_):
+                    return 1.0 / jnp.where(
+                        jnp.abs(d_) < 1e-30,
+                        jnp.where(d_ < 0, -1e-30, 1e-30), d_)
+
+                body = make_body(unroll, row[0:1, :], row[1:2, :],
+                                 row[2:3, :], _inv(row[3:4, :]),
+                                 _inv(row[4:5, :]), _inv(row[5:6, :]))
+                init = (jnp.int32(0), cnt == 0, t0, i0)
+                _, _, tb, ib = jax.lax.while_loop(cond, body, init)
+                return tb, ib
+
+            branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
+            for n in range(1, fast + 1):
+                branches.append(make_fast(n))
+            branches.append(loop_tile)                    # cnt > fast
+            t_best, id_best = jax.lax.switch(
+                jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
@@ -453,10 +482,12 @@ def _make_kernel(unroll, fold=None):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "bw"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "unroll", "bw", "fast"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
-                             unroll: int | None = None, bw: bool = False):
+                             unroll: int | None = None, bw: bool = False,
+                             fast: int | None = None):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -470,6 +501,14 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     Returns (t (Tl, P) f32, tri (Tl, P) i32).
     """
     Tl, M = ids.shape
+    if fast is None:
+        # count-ladder width (slots folded sync-free for low-count tiles);
+        # env knob for TPU sweeps (resolved at trace time, so set it
+        # before the first call in a fresh process). Measured at 20k tris
+        # (kernel-alone ms): fast 1/2/4 = 33.2/33.3/32.9 vs 37.6 without
+        # the ladder (the bulk of that is the retired per-tile all-dead
+        # sync + the fold trims; the ladder width itself is marginal).
+        fast = int(os.environ.get("PT_KERNEL_FAST", "4"))
     if unroll is None:
         # r3 sweep: u8 == u4 at 20k tris (43.20 vs 43.28 ms/trace) and 4%
         # faster at 328k (81.5 vs 85.1) — fewer while_loop iterations, same
@@ -522,7 +561,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
         blk *= int(s)
     vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
     out = pl.pallas_call(
-        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc),
+        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),

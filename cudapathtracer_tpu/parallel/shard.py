@@ -52,7 +52,7 @@ def _tile_pspec(tree):
 
 def render_sharded(scene, bvh, cam, cfg: RenderConfig, base_key,
                    state: AccumState, num_samples: int, mesh: Mesh,
-                   idx=None) -> AccumState:
+                   idx=None, prep=None) -> AccumState:
     """Progressive render with pixel tiles sharded over the mesh.
 
     ``state`` components are (R,) arrays laid out Morton-contiguously, so
@@ -75,8 +75,8 @@ def render_sharded(scene, bvh, cam, cfg: RenderConfig, base_key,
     til = P(TILE_AXIS)
 
     fn = jax.shard_map(
-        lambda sc, bv, ca, k, st, ix: render_batch(
-            sc, bv, ca, cfg, k, st, num_samples, idx=ix
+        lambda sc, bv, ca, k, st, ix, pp: render_batch(
+            sc, bv, ca, cfg, k, st, num_samples, idx=ix, prep=pp
         ),
         mesh=mesh,
         in_specs=(
@@ -86,22 +86,23 @@ def render_sharded(scene, bvh, cam, cfg: RenderConfig, base_key,
             rep,                     # base_key
             _tile_pspec(state),      # accumulation state: sharded
             til,                     # pixel indices
+            _pspec(prep, rep),       # packet precompute: replicated
         ),
         out_specs=_tile_pspec(state),
         check_vma=False,
     )
-    return fn(scene, bvh, cam, base_key, state, idx)
+    return fn(scene, bvh, cam, base_key, state, idx, prep)
 
 
 def render_sharded_jit(scene, bvh, cam, cfg, base_key, state, num_samples,
-                       mesh):
+                       mesh, prep=None):
     f = jax.jit(
-        lambda sc, bv, ca, k, st: render_sharded(
-            sc, bv, ca, cfg, k, st, num_samples, mesh
+        lambda sc, bv, ca, k, st, pp: render_sharded(
+            sc, bv, ca, cfg, k, st, num_samples, mesh, prep=pp
         ),
         donate_argnums=(4,),
     )
-    return f(scene, bvh, cam, base_key, state)
+    return f(scene, bvh, cam, base_key, state, prep)
 
 
 # ---------------------------------------------------------------------------

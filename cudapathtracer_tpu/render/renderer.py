@@ -77,12 +77,52 @@ def _accum_update(state: AccumState, sample: Vec3,
     return AccumState(img=Vec3(ix, iy, iz), comp=Vec3(cx, cy, cz), n=n)
 
 
-def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
+class PacketPrep(NamedTuple):
+    """Scene-constant packet-traversal precompute (a pytree).
+
+    Built ONCE at setup (make_packet_prep) and passed through the jit
+    boundary so the per-dispatch render step never re-derives it: the
+    packed cluster blocks alone are ~6 ms/dispatch at 20k tris (measured,
+    tools/prof_stages.py). ``packed``/``boxes`` are None when the Mosaic
+    engines are not in play (CPU/xla engine)."""
+
+    pdata: packets.PacketData
+    packed: jnp.ndarray | None
+    boxes: jnp.ndarray | None
+
+
+def _resolve_engine(cfg: RenderConfig) -> str:
+    engine = cfg.packet_engine
+    if engine == "auto":
+        # Mosaic kernels need a real TPU; anywhere else (CPU test runs)
+        # the XLA slot-scan engine is the fast correct choice.
+        engine = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    return engine
+
+
+def make_packet_prep(scene, cfg: RenderConfig, bvh) -> PacketPrep:
+    """Precompute PacketData (+ the Mosaic scene pack when applicable)."""
+    pdata = packets.make_packet_data(
+        scene,
+        Vec3(bvh.cl_lo_x, bvh.cl_lo_y, bvh.cl_lo_z),
+        Vec3(bvh.cl_hi_x, bvh.cl_hi_y, bvh.cl_hi_z),
+        bvh.cl_tri,
+    )
+    packed = boxes = None
+    if _resolve_engine(cfg) in ("pallas", "pallas_interpret"):
+        packed, boxes = packets.make_resident_pack(pdata, cfg.intersector)
+    return PacketPrep(pdata=pdata, packed=packed, boxes=boxes)
+
+
+def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
     """Build the trace closure the integrators consume.
 
     Returns (trace_fn, trace_data). For the 'bvh'/'packets' paths the accel
     structure must be prebuilt on host (build_bvh_for_scene) and is closed
-    over as a pytree so it can be donated/replicated.
+    over as a pytree so it can be donated/replicated. ``prep``: optional
+    PacketPrep from make_packet_prep — static-scene callers hoist the
+    packet precompute out of the per-dispatch step; None (differentiable
+    vertex updates) rebuilds it in-trace so geometry changes flow through.
     """
     def with_spheres(base):
         # fold analytic spheres (sphere.h capability) over the triangle hit;
@@ -113,19 +153,20 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
         assert isinstance(bvh, Accel), (
             "packet traversal needs the Accel bundle from build_bvh_for_scene"
         )
-        pdata = packets.make_packet_data(
-            scene,
-            Vec3(bvh.cl_lo_x, bvh.cl_lo_y, bvh.cl_lo_z),
-            Vec3(bvh.cl_hi_x, bvh.cl_hi_y, bvh.cl_hi_z),
-            bvh.cl_tri,
-        )
+        if prep is not None:
+            pdata = prep.pdata
+            rpack = ((prep.packed, prep.boxes)
+                     if prep.packed is not None else None)
+        else:
+            pdata = packets.make_packet_data(
+                scene,
+                Vec3(bvh.cl_lo_x, bvh.cl_lo_y, bvh.cl_lo_z),
+                Vec3(bvh.cl_hi_x, bvh.cl_hi_y, bvh.cl_hi_z),
+                bvh.cl_tri,
+            )
+            rpack = None
 
-        engine = cfg.packet_engine
-        if engine == "auto":
-            # Mosaic kernels need a real TPU; anywhere else (CPU test runs)
-            # the XLA slot-scan engine is the fast correct choice.
-            engine = "pallas" if jax.default_backend() not in ("cpu",) \
-                else "xla"
+        engine = _resolve_engine(cfg)
 
         # straggler rounds pay off on pt_nee's long incoherent bounce
         # batches; BDPT's traces are batched 2R/4R calls since round 3
@@ -146,6 +187,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None):
                 super_slots=cfg.super_slots,
                 t_cap=t_cap,
                 intersector=cfg.intersector,
+                resident_pack=rpack,
             )
 
         return with_spheres(trace_fn), td
@@ -176,7 +218,7 @@ def _radiance(o, d, scene, trace_fn, keys, cfg: RenderConfig,
 
 def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
                  state: AccumState, num_samples: int,
-                 idx=None) -> AccumState:
+                 idx=None, prep: PacketPrep | None = None) -> AccumState:
     """Render ``num_samples`` progressive samples into ``state``.
 
     Pure function of its inputs — jit it (cfg/num_samples static), donate
@@ -190,7 +232,7 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
     on array position, a sharded render draws identical randoms and
     matches single-chip to XLA-fusion ULPs (tests/test_parallel.py).
     """
-    trace_fn, _ = make_trace_fn(scene, cfg, bvh)
+    trace_fn, _ = make_trace_fn(scene, cfg, bvh, prep=prep)
     if idx is None:
         idx = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
 
@@ -261,12 +303,13 @@ def render_batch(scene, bvh, cam: Camera, cfg: RenderConfig, base_key,
 
 @partial(jax.jit, static_argnames=("cfg", "num_samples"), donate_argnums=(5,))
 def _render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
-                      num_samples: int) -> AccumState:
-    return render_batch(scene, bvh, cam, cfg, base_key, state, num_samples)
+                      num_samples: int, prep=None) -> AccumState:
+    return render_batch(scene, bvh, cam, cfg, base_key, state, num_samples,
+                        prep=prep)
 
 
 def render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
-                     num_samples: int) -> AccumState:
+                     num_samples: int, prep=None) -> AccumState:
     """Jitted render_batch. The pinhole precondition of reuse_primary_hit is
     checked HERE, where cam.radius is still concrete (inside jit it is a
     tracer and the stale-hit bias would be silent)."""
@@ -280,7 +323,7 @@ def render_batch_jit(scene, bvh, cam, cfg: RenderConfig, base_key, state,
             "(and the lens draw is skipped entirely on this path)"
         )
     return _render_batch_jit(scene, bvh, cam, cfg, base_key, state,
-                             num_samples)
+                             num_samples, prep)
 
 
 def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
@@ -295,6 +338,8 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
     if cfg.traversal in ("bvh", "packets") and bvh is None:
         bvh = build_bvh_for_scene(scene, cfg.leaf_size,
                                   cluster_size=cfg.cluster_size)
+    prep = (make_packet_prep(scene, cfg, bvh)
+            if cfg.traversal == "packets" else None)
     if state is None:
         state = init_accum(cfg)
     if (not cfg.reuse_primary_hit and not cfg.jitter
@@ -307,7 +352,8 @@ def render(scene, cam: Camera, cfg: RenderConfig, seed: int = 1234,
     done = int(state.n)
     while done < cfg.spp:
         todo = min(cfg.samples_per_call, cfg.spp - done)
-        state = render_batch_jit(scene, bvh, cam, cfg, base_key, state, todo)
+        state = render_batch_jit(scene, bvh, cam, cfg, base_key, state, todo,
+                                 prep=prep)
         done += todo
         if progress_cb is not None:
             progress_cb(done, state)
