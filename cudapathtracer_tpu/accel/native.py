@@ -56,7 +56,17 @@ def _load():
                 ["make", "-C", _NATIVE_DIR], check=True,
                 capture_output=True, text=True,
             )
-        lib = C.CDLL(_LIB_PATH)
+        try:
+            lib = C.CDLL(_LIB_PATH)
+        except OSError:
+            # A concurrent process may have published a new .so between our
+            # stat and dlopen (the Makefile's rename is atomic, but an old
+            # pre-atomic partial file could remain). Force one rebuild.
+            subprocess.run(
+                ["make", "-B", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, text=True,
+            )
+            lib = C.CDLL(_LIB_PATH)
 
         lib.cpt_build_bvh.restype = C.c_int
         lib.cpt_build_bvh.argtypes = [
