@@ -242,7 +242,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   sort_window: int = 0, two_level: bool | None = None,
                   super_factor: int = 8, super_slots: int = 16,
                   t_cap=None, intersector: str = "bw",
-                  resident_pack=None,
+                  resident_pack=None, vis_band: float = 0.0,
                   _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
@@ -267,6 +267,20 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     as soon as candidate entries pass the cap, and skipping the fine-BVH
     fallback for rays whose dropped candidates all lie beyond it.
 
+    ``vis_band``: static float > 0 marks the query as VISIBILITY-ONLY and
+    enables occluded-lane dropout in the Mosaic kernels: a lane whose best
+    hit falls strictly below ``t_cap - vis_band`` (a floor <= the caller's
+    len - eps when t_cap = len + 2*eps and vis_band = 3*eps) is provably
+    occluded and retires immediately — it stops gating, folding, and
+    holding its tile's early exit open, and reports t = -1.0 with the
+    occluder's id (a real hit below the floor, not necessarily the
+    closest). The caller's band decision |t - len| <= eps is IDENTICAL to
+    the closest-hit query's for every lane (|-1 - len| > eps for any
+    len >= 0); the reported t itself is NOT the closest hit for retired
+    lanes — only use with band-decision consumers (integrators/bdpt.py).
+    The XLA engine ignores the flag (its closest-hit answer is
+    decision-equivalent), so cross-engine tests compare decisions, not t.
+
     ``intersector``: 'bw' (Baldwin-Weber precomputed form — the default in
     every engine; measured -3%/-7% per trace at 20k/328k tris vs MT) or
     'mt' (the reference's Moller-Trumbore, modelLoader.h:49-123). Both are
@@ -284,6 +298,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     pd = jax.lax.stop_gradient(pd)
+    assert vis_band == 0.0 or t_cap is not None, (
+        "vis_band derives the occlusion floor from the per-ray cap")
 
     if rounds > 1:
         # Straggler splitting: most rays resolve within the first few
@@ -314,7 +330,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 sort_window=sort_window, two_level=two_level,
                 super_factor=super_factor, super_slots=super_slots,
                 t_cap=t_cap, intersector=intersector,
-                resident_pack=resident_pack, _need_out=True,
+                resident_pack=resident_pack, vis_band=vis_band,
+                _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
             acc_t = jnp.where(done, hi.t, acc_t)
@@ -327,7 +344,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             sort_window=sort_window, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
             t_cap=t_cap, intersector=intersector,
-            resident_pack=resident_pack,
+            resident_pack=resident_pack, vis_band=vis_band,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -415,7 +432,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             super_factor=super_factor, super_slots=super_slots,
             t_cap=scap if t_cap is not None else None,
             intersector=intersector, resident_pack=resident_pack,
-            _need_out=_need_out,
+            vis_band=vis_band, _need_out=_need_out,
         )
         hit, need = out if _need_out else (out, None)
         # un-sort: one more payload sort keyed on the carried original lane
@@ -640,7 +657,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             t_best, tri_best = dense_intersect_resident(
                 ids, counts, entries, rays, packed,
                 boxes, pd.num_tris, interpret=interpret,
-                bw=bw,
+                bw=bw, vis_band=float(vis_band),
             )
         else:
             from .pallas.dense import dense_intersect
@@ -648,11 +665,11 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             t_best, tri_best = dense_intersect(
                 ids, counts, entries, rays, packed,
                 boxes, pd.num_tris, interpret=interpret,
-                bw=bw,
+                bw=bw, vis_band=float(vis_band),
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
                        t_cap=t_cap, intersector=intersector,
-                       need_out=_need_out)
+                       need_out=_need_out, vis=vis_band > 0.0)
 
     o_b = Vec3(ox[:, :, None], oy[:, :, None], oz[:, :, None])
     d_b = Vec3(dx[:, :, None], dy[:, :, None], dz[:, :, None])
@@ -701,7 +718,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
 
 
 def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
-            t_cap=None, intersector: str = "bw", need_out: bool = False):
+            t_cap=None, intersector: str = "bw", need_out: bool = False,
+            vis: bool = False):
     """Trim padding, apply the lane mask, the t-cap, and the fallback.
 
     ``need_out=True`` skips the fallback and instead returns the mask of
@@ -714,6 +732,16 @@ def _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
     # rays whose fold never beat the search-cap init carry t == cap with
     # tri == -1: restore the canonical miss sentinel
     t_flat = jnp.where(tri_flat < 0, MAX_FLOAT, t_flat)
+    if vis:
+        # visibility mode: lanes the kernels retired as provably occluded
+        # carry the masked sentinel; normalize to the vis-mode occluded
+        # report t = -1.0 (|-1 - len| > eps for any len >= 0, so the band
+        # decision is identical to a closest-hit query's; tri keeps the
+        # occluder found at retirement). Must happen BEFORE need_fb: the
+        # sentinel would otherwise compare against U, but a retired lane
+        # can never need the fallback (its decision is final).
+        t_flat = jnp.where(
+            mask & (t_flat < -1.0e38), jnp.float32(-1.0), t_flat)
     u_ray = jnp.broadcast_to(U[:, None], (Tl, P)).reshape(-1)[:R]
     # >= (not >): when the best hit t EQUALS a dropped cluster's conservative
     # entry, an equal-t triangle with a lower index could live in that

@@ -53,6 +53,7 @@ from .dense_resident import (  # shared layout + math + constants
     _box_hit_row,
     _bw_fold_pc,
     _mt_fold_pc,
+    _vis_fold,
     pack_cluster_boxes,
     pack_clusters_resident,
 )
@@ -68,7 +69,7 @@ __all__ = [
 ]
 
 
-def _make_kernel(unroll, fold=None):
+def _make_kernel(unroll, fold=None, vis_band=0.0):
     fold = fold or _mt_fold_pc
     assert unroll <= _NBUF
 
@@ -105,6 +106,9 @@ def _make_kernel(unroll, fold=None):
                                jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
                                _MASKED_T_INIT)
             id_init = jnp.full((P, 1), -1, jnp.int32)
+            # visibility mode: occluded-lane dropout (see dense_resident)
+            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
+                      if vis_band > 0.0 else fold)
 
             def cond(carry):
                 s, done, t_best, id_best = carry
@@ -182,7 +186,7 @@ def _make_kernel(unroll, fold=None):
                             cl_hbm.at[sids[u]], buf.at[pfx[u]],
                             sem.at[pfx[u]]).wait()
                         cl = buf[pfx[u]]               # (16, C) VMEM
-                        return fold(
+                        return fold_l(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
                     t_best, id_best = jax.lax.cond(
@@ -213,10 +217,11 @@ def _make_kernel(unroll, fold=None):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "bw"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "unroll", "bw", "vis_band"))
 def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
                     interpret: bool = False, unroll: int = _NBUF,
-                    bw: bool = False):
+                    bw: bool = False, vis_band: float = 0.0):
     """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
@@ -278,7 +283,8 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc),
+        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc,
+                     vis_band=float(vis_band)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,

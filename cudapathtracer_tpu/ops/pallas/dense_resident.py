@@ -273,6 +273,25 @@ def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     return t_out, id_out
 
 
+def _vis_fold(fold, lo):
+    """Occluded-lane dropout for VISIBILITY queries (BDPT shadow rays).
+
+    The caller's decision is ``|t_closest - len| <= eps`` (kernel.cu:402-405).
+    A found hit strictly below the band floor ``lo <= len - eps`` proves the
+    closest hit lies below it too (min only decreases), i.e. the lane is
+    OCCLUDED no matter what the remaining candidates hold. Dropping its
+    best-t to the masked sentinel retires the lane on the spot: box gates
+    fail (tmin <= t_row can't pass -3e38), no later fold can update it
+    (t_new >= 0 is never < -3e38... and never equal), and it stops holding
+    the tile's early exit open. packets._finish normalizes the sentinel to
+    the vis-mode occluded report (t = -1.0, decision-equivalent for any
+    len >= 0 since |−1 − len| > eps always)."""
+    def f(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
+        t, i = fold(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris)
+        return jnp.where(t < lo, _MASKED_T_INIT, t), i
+    return f
+
+
 def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
     """Does each ray enter this cluster's AABB within its current
     [0, t_best] interval? ROW layout: rays along LANES ((1, P) slices of
@@ -305,7 +324,7 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 # rounds unroll 4 (measured: unroll 4 on a budget-2 round cost +50%).
 
 
-def _make_kernel(unroll, fold=None, fast=2):
+def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
     fold = fold or _mt_fold_pc
     def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
@@ -347,6 +366,12 @@ def _make_kernel(unroll, fold=None, fast=2):
                                jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
                                _MASKED_T_INIT)
             id_init = jnp.full((P, 1), -1, jnp.int32)
+            # visibility mode: band floor = per-ray cap (row 7) − band.
+            # row 7 is min(scene exit, caller cap), so the floor is <= the
+            # true len − eps — dropping only when strictly below it is
+            # conservative-exact (see _vis_fold).
+            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
+                      if vis_band > 0.0 else fold)
 
             def cond(carry):
                 s, done, t_best, id_best = carry
@@ -407,7 +432,7 @@ def _make_kernel(unroll, fold=None, fast=2):
 
                         def do_fold(tb, ib, sid=sid):
                             cl = cl_ref[sid]           # (16, C), VMEM slice
-                            return fold(
+                            return fold_l(
                                 cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
                         t_best, id_best = jax.lax.cond(
@@ -440,7 +465,7 @@ def _make_kernel(unroll, fold=None, fast=2):
                     for u in range(n):
                         sid = slid[g, jnp.minimum(1 + u, W - 1)]
                         cl = cl_ref[sid]       # (16, C), VMEM slice
-                        tb, ib = fold(
+                        tb, ib = fold_l(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
                     return tb, ib
                 return fast_tile
@@ -483,11 +508,13 @@ def _make_kernel(unroll, fold=None, fast=2):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "unroll", "bw", "fast"))
+                   static_argnames=("interpret", "unroll", "bw", "fast",
+                                    "vis_band"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
                              unroll: int | None = None, bw: bool = False,
-                             fast: int | None = None):
+                             fast: int | None = None,
+                             vis_band: float = 0.0):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -561,7 +588,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
         blk *= int(s)
     vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
     out = pl.pallas_call(
-        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast),
+        _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast,
+                     vis_band=float(vis_band)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),

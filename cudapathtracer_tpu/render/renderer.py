@@ -130,8 +130,8 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
         if scene.num_spheres == 0:
             return base
 
-        def fn(o, d, mask, t_cap=None):
-            h = base(o, d, mask, t_cap=t_cap)
+        def fn(o, d, mask, t_cap=None, vis_band=0.0):
+            h = base(o, d, mask, t_cap=t_cap, vis_band=vis_band)
             h = traversal.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
             # sphere hits beyond the cap must honor the capped contract too
             return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
@@ -139,7 +139,9 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
         return fn
 
     if cfg.traversal == "brute":
-        def trace_fn(o, d, mask, t_cap=None):
+        def trace_fn(o, d, mask, t_cap=None, vis_band=0.0):
+            # vis_band: a closest-hit answer is decision-equivalent for the
+            # band test, so the non-packet engines simply ignore it
             h = traversal.trace_bruteforce(o, d, scene, mask=mask,
                                            intersector=cfg.intersector)
             return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
@@ -174,7 +176,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
         rounds = (cfg.packet_rounds if cfg.integrator == "pt_nee"
                   else cfg.packet_rounds_bdpt)
 
-        def trace_fn(o, d, mask, t_cap=None):
+        def trace_fn(o, d, mask, t_cap=None, vis_band=0.0):
             return packets.trace_packets(
                 o, d, pdata, fine_td=td, mask=mask,
                 tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
@@ -188,11 +190,12 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
                 t_cap=t_cap,
                 intersector=cfg.intersector,
                 resident_pack=rpack,
+                vis_band=vis_band,
             )
 
         return with_spheres(trace_fn), td
 
-    def trace_fn(o, d, mask, t_cap=None):
+    def trace_fn(o, d, mask, t_cap=None, vis_band=0.0):
         h = traversal.trace(o, d, td, mask=mask,
                             intersector=cfg.intersector)
         return h if t_cap is None else traversal.apply_t_cap(h, t_cap)
