@@ -68,6 +68,11 @@ def main():
             cluster_size=(int(os.environ["BENCH_C"])
                           if "BENCH_C" in os.environ else None),
             tile_size=int(os.environ.get("BENCH_TILE", "128")),
+            two_level_cull={"auto": None, "0": False, "1": True,
+                            "super": "super"}[
+                os.environ.get("BENCH_TWO_LEVEL", "auto")],
+            super_factor=int(os.environ.get("BENCH_SUPERF", "8")),
+            super_list=int(os.environ.get("BENCH_SUPERLIST", "255")),
             reuse_primary_hit=True)  # pinhole camera, no jitter
         t0 = time.time()
         bvh = build_bvh_for_scene(scene, cfg.leaf_size,

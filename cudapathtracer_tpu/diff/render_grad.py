@@ -61,8 +61,13 @@ def make_diff_trace_fn(scene: Scene, base_trace_fn):
     T = scene.num_tris
     S = scene.num_spheres
 
-    def diff_trace(o: Vec3, d: Vec3, mask, t_cap=None) -> Hit:
-        hit = base_trace_fn(o, d, mask, t_cap=t_cap)
+    def diff_trace(o: Vec3, d: Vec3, mask, t_cap=None, vis_band=0.0) -> Hit:
+        # vis_band (visibility-only queries, integrators/bdpt.py): a lane
+        # retired as occluded carries tri = a real occluder strictly below
+        # the band floor, so the re-evaluated t keeps |t - len| > eps — the
+        # band decision is unchanged, and the decision factor is discrete
+        # (no gradient flows through it) so vis-mode dropout is grad-safe.
+        hit = base_trace_fn(o, d, mask, t_cap=t_cap, vis_band=vis_band)
         tri = jnp.maximum(hit.tri, 0)
         tric = jnp.minimum(tri, max(T - 1, 0))  # sphere ids out of range
         v0 = gather(scene.verts, jnp.take(scene.tri_v0, tric, mode="clip"))
@@ -101,31 +106,39 @@ def render_image_diff(scene: Scene, cam, cfg: RenderConfig, base_key,
     """
     scene = recompute_derived(scene)
 
-    from ..ops import traversal as trav
+    # The hit SEARCH is detached (stop_gradient) in every engine, so the
+    # fast packet/Mosaic path (3 rounds of TPU perf work, ops/packets.py)
+    # is legal here too — the diff wrapper below re-evaluates t
+    # differentiably from the chosen triangle id regardless of which engine
+    # found it. renderer.make_trace_fn builds the identical trace closure
+    # the forward renderer uses (packets/bvh/brute + analytic spheres);
+    # prep stays None so the packet blocks are re-gathered from the
+    # CURRENT (perturbed) vertices inside this trace — geometry updates
+    # flow into the search. Engines agree on the chosen triangle
+    # everywhere (tests/test_packets.py), so gradients are
+    # engine-independent. Reference anchor: the trace IS the hot loop
+    # (kernel.cu:112-161); in a train step it runs 3+ times per bounce.
+    from ..render.renderer import make_trace_fn
 
-    if cfg.traversal == "brute":
-        def tri_trace(o, d, mask, t_cap=None):
-            h = trav.trace_bruteforce(o, d, scene, mask=mask)
+    if cfg.traversal != "brute" and bvh is None and trace_data is not None:
+        # legacy escape hatch: a caller with only a fine TraceData gets the
+        # per-ray walk (packets need the Accel cluster bundle)
+        from ..ops import traversal as trav
+
+        def tri_trace(o, d, mask, t_cap=None, vis_band=0.0):
+            h = trav.trace(o, d, trace_data, mask=mask,
+                           intersector=cfg.intersector)
             return h if t_cap is None else trav.apply_t_cap(h, t_cap)
+
+        if scene.num_spheres > 0:
+            def base_trace(o, d, mask, t_cap=None, vis_band=0.0):
+                h = tri_trace(o, d, mask, t_cap=t_cap)
+                h = trav.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
+                return h if t_cap is None else trav.apply_t_cap(h, t_cap)
+        else:
+            base_trace = tri_trace
     else:
-        td = trace_data
-        if td is None:
-            assert bvh is not None, "need bvh or trace_data"
-            from ..accel.bvh import as_fine
-
-            td = trav.make_trace_data(scene, as_fine(bvh))
-
-        def tri_trace(o, d, mask, t_cap=None):
-            h = trav.trace(o, d, td, mask=mask)
-            return h if t_cap is None else trav.apply_t_cap(h, t_cap)
-
-    if scene.num_spheres > 0:
-        def base_trace(o, d, mask, t_cap=None):
-            h = tri_trace(o, d, mask, t_cap=t_cap)
-            h = trav.trace_spheres(o, d, scene, h.t, h.tri, mask=mask)
-            return h if t_cap is None else trav.apply_t_cap(h, t_cap)
-    else:
-        base_trace = tri_trace
+        base_trace, _ = make_trace_fn(scene, cfg, bvh)
 
     trace_fn = make_diff_trace_fn(scene, base_trace)
     if idx is None:

@@ -232,12 +232,18 @@ def radiance_bdpt(o: Vec3, d: Vec3, scene, trace_fn, keys,
     # (kernel.cu:402-405), so hits beyond len + 2*eps are irrelevant — a
     # per-ray t_cap lets the packet kernels' early exit stop as soon as
     # candidate entries pass the cap (and skips the overflow fallback for
-    # beyond-cap stragglers). The visibility bool — and hence radiance —
-    # is bit-identical to the uncapped trace.
+    # beyond-cap stragglers). vis_band = 3*eps additionally marks the query
+    # VISIBILITY-ONLY: the Mosaic kernels retire a lane the moment any hit
+    # lands strictly below len - eps (provably occluded — the closest hit
+    # can only be lower), reporting t = -1.0. The band decision below is
+    # IDENTICAL for every lane (|-1 - len| > eps for any len >= 0), so
+    # radiance is bit-equal to the closest-hit query; only the reported t
+    # of occluded lanes differs — never consumed numerically here.
     seg_cat = jnp.concatenate([c[3] for c in conns])
     sh = trace_fn(_catn([c[1] for c in conns]), _catn([c[2] for c in conns]),
                   jnp.concatenate([c[4] for c in conns]),
-                  t_cap=seg_cat + 2.0 * EPS_VISIBILITY)
+                  t_cap=seg_cat + 2.0 * EPS_VISIBILITY,
+                  vis_band=3.0 * EPS_VISIBILITY)
 
     for ci, (weight, _, _, seg_len, bright) in enumerate(conns):
         sh_t = sh.t[ci * R:(ci + 1) * R]

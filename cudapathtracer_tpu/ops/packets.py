@@ -239,8 +239,10 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   tile_size: int = 128, max_clusters: int = 32,
                   engine: str = "xla", sort: bool = False,
                   rounds: int = 1, first_round_slots: int = 3,
-                  sort_window: int = 0, two_level: bool | None = None,
+                  sort_window: int = 0,
+                  two_level: bool | str | None = None,
                   super_factor: int = 8, super_slots: int = 16,
+                  super_list: int = 255,
                   t_cap=None, intersector: str = "bw",
                   resident_pack=None, vis_band: float = 0.0,
                   _need_out: bool = False):
@@ -258,6 +260,18 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     'pallas_interpret' (same kernel in interpreter mode, for CPU tests).
     The engines agree on the chosen triangle everywhere and on t to ULP
     (Mosaic vs XLA FMA contraction).
+
+    ``two_level``: False = flat cull; True = XLA-side two-level cull
+    (supercluster shortlist + member expansion under a slot cap);
+    'super' = SUPER SHORTLISTS (round 4): the shortlist itself is in
+    supercluster units and the Mosaic kernel expands members behind its
+    per-ray SMEM box gates — no member is ever dropped, so the U bound
+    cannot collapse on fat tiles (the r3 53 s/trace cliff at 328k/C=256)
+    and the XLA cull+top_k shrink by F. Requires the VMEM-resident kernel
+    (falls back to auto otherwise). None = auto: 'super' when the resident
+    kernel is in play and K > 2F, else the flat/two-level heuristic.
+    ``super_list``: max supers per tile shortlist in 'super' mode (255
+    covers every super of a 328k-tri scene at C=256 — no drops at all).
 
     ``t_cap``: optional (R,) f32 per-ray search cap. Hits with t >= cap are
     reported as a MISS (MAX_FLOAT/-1); hits below it are exact. For
@@ -329,6 +343,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 engine=engine, sort=sort, rounds=1,
                 sort_window=sort_window, two_level=two_level,
                 super_factor=super_factor, super_slots=super_slots,
+                super_list=super_list,
                 t_cap=t_cap, intersector=intersector,
                 resident_pack=resident_pack, vis_band=vis_band,
                 _need_out=True,
@@ -343,6 +358,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             max_clusters=max_clusters, engine=engine, sort=sort, rounds=1,
             sort_window=sort_window, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
+            super_list=super_list,
             t_cap=t_cap, intersector=intersector,
             resident_pack=resident_pack, vis_band=vis_band,
         )
@@ -375,13 +391,18 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         lo = Vec3(pd.cl_lo.x.min(), pd.cl_lo.y.min(), pd.cl_lo.z.min())
         hi = Vec3(pd.cl_hi.x.max(), pd.cl_hi.y.max(), pd.cl_hi.z.max())
         key = ray_sort_keys(o, d, mask, lo, hi)
-        # the per-ray search cap rides the permutation too (ignored by the
-        # inner call when t_cap is None)
-        cap_col = (jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32), o.x.shape)
-                   if t_cap is not None else jnp.zeros_like(o.x))
+        # payload operands are NOT free (measured r4: ~0.5 ms per extra
+        # column at 1M rays), so the mask does not travel as a column: real
+        # keys are clamped one below the masked sentinel (merging two
+        # grouping buckets — ordering is irrelevant to exactness) and the
+        # mask is recovered from the sorted key. The per-ray cap column
+        # only rides when the caller actually passed one.
+        key = jnp.where(mask, jnp.minimum(key, 0x7FFFFFFE), key)
         iota = jnp.arange(R, dtype=jnp.int32)
-        cols = (key, iota, o.x, o.y, o.z, d.x, d.y, d.z,
-                mask.astype(jnp.float32), cap_col)
+        cols = (key, iota, o.x, o.y, o.z, d.x, d.y, d.z)
+        if t_cap is not None:
+            cols = cols + (jnp.broadcast_to(
+                jnp.asarray(t_cap, jnp.float32), o.x.shape),)
 
         W = int(sort_window)
         windowed = W > 0 and W % P == 0 and R > W
@@ -400,12 +421,12 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             # the U-bound/fallback makes the hit exact under ANY grouping.
             Rw = -(-R // W) * W
             if Rw != R:
-                # pad lanes: masked (max key), unit direction, mask 0.0.
+                # pad lanes: masked (max key), unit direction.
                 # The index payload pads with R..Rw-1 (NOT a constant): the
                 # back sort keys on it, so pad indices must stay above every
                 # real lane's to land at the end and be sliced off.
                 pads = (0x7FFFFFFF, None, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0,
-                        0.0, 0.0)
+                        0.0)[:len(cols)]
                 cols = tuple(
                     jnp.concatenate([
                         c,
@@ -422,15 +443,18 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             cols = tuple(c.reshape(Rw) for c in cols)
         else:
             cols = jax.lax.sort(cols, num_keys=1, is_stable=False)
-        (_, sidx, sox, soy, soz, sdx, sdy, sdz, smask, scap) = cols
+        (skey, sidx, sox, soy, soz, sdx, sdy, sdz) = cols[:8]
+        scap = cols[8] if t_cap is not None else None
+        smask = skey < 0x7FFFFFFF  # masked lanes carry the sentinel key
 
         out = trace_packets(
             Vec3(sox, soy, soz), Vec3(sdx, sdy, sdz),
-            pd, fine_td=fine_td, mask=smask > 0.5,
+            pd, fine_td=fine_td, mask=smask,
             tile_size=tile_size, max_clusters=max_clusters,
             engine=engine, sort=False, two_level=two_level,
             super_factor=super_factor, super_slots=super_slots,
-            t_cap=scap if t_cap is not None else None,
+            super_list=super_list,
+            t_cap=scap,
             intersector=intersector, resident_pack=resident_pack,
             vis_band=vis_band, _need_out=_need_out,
         )
@@ -489,13 +513,63 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
 
     F = int(super_factor)
     Ms = min(int(super_slots), -(-K // F))
+
+    # SUPER-shortlist mode (round 4): needs the VMEM-resident Mosaic kernel
+    # (the member expansion lives behind its SMEM box gates).
+    can_resident = engine in ("pallas", "pallas_interpret") and C % 128 == 0
+    if can_resident:
+        from .pallas.dense_resident import resident_fits as _rfits
+
+        can_resident = _rfits(K, C)
+    use_super = two_level == "super" and can_resident and K > 2 * F
+    if two_level == "super" and not use_super:
+        two_level = None  # fall back to the auto flat/two-level heuristic
     if two_level is None:
         # auto: worth it once the flat cull's (Tl, K) interval tests and
         # O(K) top_k clearly exceed the two-level path's
         # (Tl, S) + (Tl, Ms*F) work — i.e. at sponza-class cluster counts
         two_level = K >= 4 * Ms * F
 
-    if two_level and K > F:
+    if use_super:
+        # ---- supercluster-granular shortlist ---------------------------
+        # Cull (Tl, S) super boxes, keep EVERY hit super (up to
+        # ``super_list``) entry-sorted; the Mosaic kernel gates members
+        # per ray. U comes only from supers beyond the list cap.
+        S = -(-K // F)
+        KP = S * F
+
+        def padc(a, fill):
+            if KP == K:
+                return a
+            return jnp.concatenate([a, jnp.full((KP - K,), fill, a.dtype)])
+
+        sup_lo = Vec3(padc(pd.cl_lo.x, inf).reshape(S, F).min(1),
+                      padc(pd.cl_lo.y, inf).reshape(S, F).min(1),
+                      padc(pd.cl_lo.z, inf).reshape(S, F).min(1))
+        sup_hi = Vec3(padc(pd.cl_hi.x, -inf).reshape(S, F).max(1),
+                      padc(pd.cl_hi.y, -inf).reshape(S, F).max(1),
+                      padc(pd.cl_hi.z, -inf).reshape(S, F).max(1))
+        hit_s, entry_s = tile_cull(
+            olo, ohi, dlo, dhi,
+            Vec3(sup_lo.x[None, :], sup_lo.y[None, :], sup_lo.z[None, :]),
+            Vec3(sup_hi.x[None, :], sup_hi.y[None, :], sup_hi.z[None, :]),
+        )  # (Tl, S)
+        entry_s = jnp.where(hit_s & any_lane, entry_s, inf)
+        M = min(S, max(1, int(super_list)),
+                max(1, int(max_clusters) // F) if max_clusters < 4095
+                else S)
+        if S > M:
+            negv, idxs = jax.lax.top_k(-entry_s, M + 1)
+            U = -negv[:, M]  # a dropped super's entry lower-bounds members'
+            negv = negv[:, :M]
+            idxs = idxs[:, :M]
+        else:
+            negv, idxs = jax.lax.top_k(-entry_s, M)
+            U = jnp.full((Tl,), inf)
+        entries = -negv
+        slot_ok = entries < inf
+        ids = jnp.where(slot_ok, idxs, S).astype(jnp.int32)  # S = sentinel
+    elif two_level and K > F:
         # ---- level 1: supercluster cull -------------------------------
         # Superclusters = F preorder-consecutive clusters (spatial
         # neighbors by construction of the flat BVH), boxes merged on the
@@ -652,7 +726,17 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             packed, boxes = resident_pack
         else:
             packed, boxes = pack(pd), pack_cluster_boxes(pd)
-        if C % 128 == 0 and resident_fits(K, C):
+        if use_super:
+            from .pallas.dense_resident import (
+                dense_intersect_resident_super,
+            )
+
+            t_best, tri_best = dense_intersect_resident_super(
+                ids, counts, entries, rays, packed,
+                boxes, pd.num_tris, F, interpret=interpret,
+                bw=bw, vis_band=float(vis_band),
+            )
+        elif C % 128 == 0 and resident_fits(K, C):
             # whole scene pinned in VMEM: every slot is pure VPU work
             t_best, tri_best = dense_intersect_resident(
                 ids, counts, entries, rays, packed,

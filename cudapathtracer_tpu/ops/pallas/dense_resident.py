@@ -507,6 +507,256 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
     return _kernel
 
 
+def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
+    """Super-shortlist variant (round 4): shortlist slots are SUPERCLUSTERS
+    (F preorder-consecutive clusters), and the kernel expands each super to
+    its F member clusters gated by the per-member SMEM box test.
+
+    Why: the round-3 two-level cull expanded supers to members on the XLA
+    side under a fixed slot cap, and a dropped close candidate collapsed
+    the tile's U bound — whole tiles fell into the per-ray fallback
+    (measured 53 s/trace at 328k tris with C=256, renderer.py r3 NOTE).
+    Here NO member is ever dropped: the shortlist holds every hit super
+    (up to the SMEM row width), members are culled per-RAY by the same
+    scalar box gates the cluster kernel already pays, and the U bound only
+    ever comes from genuinely distant dropped supers. The XLA-side
+    shortlist shrinks by F (cull (Tl, S) instead of (Tl, K), top_k over S)
+    — that is what lets SMALL clusters (C=256) survive at sponza scale.
+
+    Bitmask layout per while iteration: ``groups`` supers x F member bits
+    + 1 early-exit bit ride ONE f32 vector->scalar sync (groups*F + 1 must
+    stay < 24 for f32-exact bit weights). Early exit compares against the
+    group's first SUPER entry — a super's box contains its members', so
+    its entry lower-bounds theirs and the exit argument of the cluster
+    kernel carries over unchanged.
+    """
+    fold = fold or _mt_fold_pc
+    assert groups * F + 1 <= 24, (groups, F)
+
+    def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
+                out_ref, slid, slent, sl_sem):
+        i = pl.program_id(0)
+        num_tris = meta_ref[0]
+        K = meta_ref[1]
+        P = rays_ref.shape[2]
+        G = _TILE_GROUP
+        W = slid.shape[1]
+
+        d1 = pltpu.make_async_copy(
+            slid_hbm.at[pl.ds(i * G, G)], slid, sl_sem.at[0])
+        d2 = pltpu.make_async_copy(
+            slent_hbm.at[pl.ds(i * G, G)], slent, sl_sem.at[1])
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+        def one_tile(g, _):
+            cnt = slid[g, 0]
+            row = rays_ref[pl.ds(g, 1)].reshape(8, P)     # (8, P)
+            tile = jnp.transpose(row)                     # (P, 8)
+            ox = tile[:, 0:1]
+            oy = tile[:, 1:2]
+            oz = tile[:, 2:3]
+            dx = tile[:, 3:4]
+            dy = tile[:, 4:5]
+            dz = tile[:, 5:6]
+            lane_on = tile[:, 6:7] > 0.5
+            t_init = jnp.where(lane_on,
+                               jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
+                               _MASKED_T_INIT)
+            id_init = jnp.full((P, 1), -1, jnp.int32)
+            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
+                      if vis_band > 0.0 else fold)
+
+            def _inv(d_):
+                return 1.0 / jnp.where(
+                    jnp.abs(d_) < 1e-30,
+                    jnp.where(d_ < 0, -1e-30, 1e-30), d_)
+
+            oxr = row[0:1, :]
+            oyr = row[1:2, :]
+            ozr = row[2:3, :]
+            idxr = _inv(row[3:4, :])
+            idyr = _inv(row[4:5, :])
+            idzr = _inv(row[5:6, :])
+
+            def gate_members(s, n_sup, t_row, with_exit):
+                """Gate n_sup supers' members; -> (member sids, bits)."""
+                sids = []
+                wts = []
+                for u in range(n_sup):
+                    su = s + u
+                    sup = slid[g, jnp.minimum(1 + su, W - 1)]
+                    ok_u = su < cnt                        # scalar bool
+                    for j in range(F):
+                        # clamp into the sentinel row: far box never gates
+                        # in, degenerate sentinel cluster never folds a hit
+                        sid = jnp.minimum(sup * F + j, K)
+                        sids.append(sid)
+                        box6 = tuple(boxes_ref[sid, jj] for jj in range(6))
+                        hit = _box_hit_row(
+                            box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
+                        wts.append(jnp.where(
+                            hit & ok_u, jnp.float32(1 << (u * F + j)), 0.0))
+                if with_exit:
+                    entry_s0 = slent[g, jnp.minimum(s, W - 1)]
+                    wts.append(jnp.where(t_row >= entry_s0,
+                                         jnp.float32(1 << (n_sup * F)), 0.0))
+                wt = jnp.concatenate(wts, axis=0)
+                bits = jnp.sum(
+                    jnp.max(wt, axis=1, keepdims=True)
+                ).astype(jnp.int32)                        # scalar sync
+                return sids, bits
+
+            def fold_gated(sids, bits, t_best, id_best):
+                for m, sid in enumerate(sids):
+                    def do_fold(tb, ib, sid=sid):
+                        cl = cl_ref[sid]            # (16, C), VMEM slice
+                        return fold_l(
+                            cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
+
+                    t_best, id_best = jax.lax.cond(
+                        (bits & (1 << m)) != 0,
+                        do_fold,
+                        lambda tb, ib: (tb, ib),
+                        t_best, id_best,
+                    )
+                return t_best, id_best
+
+            def cond(carry):
+                s, done, t_best, id_best = carry
+                return jnp.logical_not(done)
+
+            def body(carry):
+                s, done, t_best, id_best = carry
+                t_row = jnp.transpose(t_best)              # (1, P)
+                sids, bits = gate_members(s, groups, t_row, with_exit=True)
+                t_best, id_best = fold_gated(sids, bits, t_best, id_best)
+                nxt = s + groups
+                exhausted = nxt >= cnt
+                no_open = (bits >> (groups * F)) == 0
+                return (nxt, exhausted | no_open, t_best, id_best)
+
+            # count ladder: tiles with cnt <= `fast` supers pay exactly one
+            # gate sync and their conditional folds — no while loop, no
+            # exit bit. (Unlike the cluster kernel's fast path, members ARE
+            # gated: folding F ungated members would cost F/≈ 2-3x the
+            # gated work for the median tile.)
+            def make_fast(n):
+                def fast_tile(t0, i0):
+                    t_row = jnp.transpose(t0)
+                    sids, bits = gate_members(0, n, t_row, with_exit=False)
+                    return fold_gated(sids, bits, t0, i0)
+                return fast_tile
+
+            def loop_tile(t0, i0):
+                init = (jnp.int32(0), cnt == 0, t0, i0)
+                _, _, tb, ib = jax.lax.while_loop(cond, body, init)
+                return tb, ib
+
+            branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
+            for n in range(1, fast + 1):
+                branches.append(make_fast(n))
+            branches.append(loop_tile)                    # cnt > fast
+            t_best, id_best = jax.lax.switch(
+                jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
+
+            out = jnp.concatenate(
+                [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
+            )  # (P, 2)
+            out_ref[pl.ds(g, 1)] = jnp.transpose(out).reshape(1, 2, P)
+            return 0
+
+        jax.lax.fori_loop(0, G, one_tile, 0)
+
+    return _kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "super_factor", "groups",
+                                    "bw", "fast", "vis_band"))
+def dense_intersect_resident_super(ids, counts, entries, rays, cl_packed,
+                                   boxes, num_tris, super_factor: int,
+                                   interpret: bool = False,
+                                   groups: int | None = None,
+                                   bw: bool = False, fast: int | None = None,
+                                   vis_band: float = 0.0):
+    """VMEM-resident dense intersection over SUPER shortlists.
+
+    ids/counts/entries: per-tile shortlists in SUPERCLUSTER units — ids are
+    super indices (cluster ids sup*F .. sup*F+F-1), entries the supers'
+    conservative entry distances, ascending. cl_packed/boxes/rays exactly
+    as dense_intersect_resident (member boxes + blocks are the SAME arrays
+    the cluster kernel uses; only the shortlist granularity changes).
+    """
+    Tl, M = ids.shape
+    F = int(super_factor)
+    if fast is None:
+        fast = int(os.environ.get("PT_KERNEL_FAST_SUPER", "2"))
+    if groups is None:
+        # groups*F member gates + 1 exit bit per sync; F=8 -> 2 supers per
+        # sync matches the cluster kernel's unroll=8 + count-ladder rates
+        groups = max(1, min(2, 23 // F))
+    P = rays.shape[2]
+    G = _TILE_GROUP
+    W = -(-(M + 1) // 128) * 128
+    K = cl_packed.shape[0] - 1
+    meta = jnp.stack([jnp.asarray(num_tris, jnp.int32),
+                      jnp.asarray(K, jnp.int32)])
+
+    slid = jnp.concatenate(
+        [counts.reshape(Tl, 1).astype(jnp.int32), ids.astype(jnp.int32),
+         jnp.zeros((Tl, W - 1 - M), jnp.int32)], axis=1)
+    slent = jnp.concatenate(
+        [entries.astype(jnp.float32),
+         jnp.full((Tl, W - M), jnp.inf, jnp.float32)], axis=1)
+
+    NR = rays.shape[1]
+    Tp = -(-Tl // G) * G
+    if Tp != Tl:
+        slid = jnp.concatenate(
+            [slid, jnp.zeros((Tp - Tl, W), jnp.int32)], axis=0)
+        slent = jnp.concatenate(
+            [slent, jnp.full((Tp - Tl, W), jnp.inf, jnp.float32)], axis=0)
+        rays = jnp.concatenate(
+            [rays, jnp.zeros((Tp - Tl, NR, P), rays.dtype)], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Tp // G,),
+        in_specs=[
+            pl.BlockSpec((G, NR, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # resident scene
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, 2, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((G, W), jnp.int32),
+            pltpu.SMEM((G, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    blk = 4
+    for s in cl_packed.shape:
+        blk *= int(s)
+    vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
+    out = pl.pallas_call(
+        _make_kernel_super(F, groups, _bw_fold_pc if bw else _mt_fold_pc,
+                           fast=fast, vis_band=float(vis_band)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(meta, boxes, rays, cl_packed, slid, slent)
+    t = out[:Tl, 0, :]
+    tri = (out[:Tl, 1, :] - _ID_OFFSET).astype(jnp.int32)
+    return t, tri
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
                                     "vis_band"))

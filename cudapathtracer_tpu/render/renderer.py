@@ -187,6 +187,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
                 two_level=cfg.two_level_cull,
                 super_factor=cfg.super_factor,
                 super_slots=cfg.super_slots,
+                super_list=cfg.super_list,
                 t_cap=t_cap,
                 intersector=cfg.intersector,
                 resident_pack=rpack,

@@ -68,16 +68,24 @@ class RenderConfig:
     #                                 separately tunable again.
     packet_engine: str = "auto"     # 'auto' | 'pallas' | 'xla' |
     #                                 'pallas_interpret' (CPU debugging)
-    two_level_cull: bool | None = None  # hierarchical cull: frustum-test F
-    #                                 preorder-consecutive clusters merged
-    #                                 into superclusters first, expand only
-    #                                 the Ms nearest supers' members. Cuts
-    #                                 cull+top_k from O(K) to O(K/F + Ms*F)
-    #                                 per tile; dropped supers fold into the
-    #                                 U bound so exactness is unconditional.
-    #                                 None = auto (on at sponza-class K).
+    two_level_cull: bool | str | None = None  # hierarchical cull.
+    #                                 False = flat (Tl, K) cull; True =
+    #                                 r3 XLA-side two-level (supercluster
+    #                                 shortlist + member expansion under a
+    #                                 slot cap — the cap can drop close
+    #                                 members on fat tiles and collapse the
+    #                                 U bound); 'super' = r4 SUPER
+    #                                 SHORTLISTS: the shortlist is in super
+    #                                 units and the resident Mosaic kernel
+    #                                 expands members behind its per-ray
+    #                                 SMEM box gates — no member drops, no
+    #                                 U collapse, XLA cull/top_k shrink by
+    #                                 F. None = auto (ops/packets.py).
     super_factor: int = 8           # clusters per supercluster (F)
-    super_slots: int = 16           # supercluster shortlist length (Ms)
+    super_slots: int = 16           # two-level member-expansion slots (Ms)
+    super_list: int = 255           # 'super' mode: max supers per tile
+    #                                 shortlist (255 = every super of a
+    #                                 328k-tri scene at C=256; no drops)
     sort_window: int = 0            # ray-sort window length (0 = one global
     #                                 sort). Windowed sorting trades a hair
     #                                 of tile tightness for a much cheaper

@@ -339,3 +339,119 @@ def test_packets_bw_vs_mt_only_tie_flips(setup):
     np.testing.assert_allclose(t_bw[both], t_mt[both], rtol=2e-5, atol=2e-6)
     flips = (t_bw < 1e5) != (t_mt < 1e5)
     assert flips.mean() < 0.06, f"seam-flip fraction {flips.mean():.4f}"
+
+
+@pytest.fixture(scope="module")
+def setup_resident():
+    """Resident-kernel-eligible fixture (C=128) for the super-shortlist and
+    vis_band tests — small image so interpret mode stays affordable."""
+    scene = procedural.to_scene(procedural.cornell_with_sphere_mesh(subdiv=2))
+    accel = build_bvh_for_scene(scene, leaf_size=4, cluster_size=128)
+    td = traversal.make_trace_data(scene, accel.fine)
+    pd = packets.make_packet_data(
+        scene,
+        Vec3(accel.cl_lo_x, accel.cl_lo_y, accel.cl_lo_z),
+        Vec3(accel.cl_hi_x, accel.cl_hi_y, accel.cl_hi_z),
+        accel.cl_tri,
+    )
+    from cudapathtracer_tpu.ops.pallas.dense_resident import resident_fits
+
+    assert pd.cluster_size % 128 == 0
+    assert resident_fits(pd.num_clusters, pd.cluster_size)
+    cam = make_camera(width=16, height=16)
+    idx = jnp.arange(16 * 16, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(0), 0), idx)
+    o, d = camera_rays(cam, idx, keys, jitter=False)
+    return scene, td, pd, o, d
+
+
+def test_super_shortlist_exact(setup_resident):
+    """'super' mode (round 4: super-granular shortlists, member expansion
+    behind the kernel's per-ray SMEM box gates) is bit-exact vs brute
+    force — with the full super list (no drops possible) AND with a
+    1-super list forcing the dropped-super U bound + fine-BVH fallback."""
+    scene, td, pd, o, d = setup_resident
+    hb = traversal.trace_bruteforce(o, d, scene)
+    for sl in (255, 1):
+        hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                   engine="pallas_interpret", sort=True,
+                                   two_level="super", super_factor=2,
+                                   super_list=sl)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+        np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_super_mode_falls_back_when_not_resident(setup):
+    """two_level='super' on a non-resident layout (C=16) or the XLA engine
+    must quietly take the auto path and stay exact."""
+    scene, td, pd, o, d = setup
+    hb = traversal.trace_bruteforce(o, d, scene)
+    for eng in ("xla", "pallas_interpret"):
+        hp = packets.trace_packets(o, d, pd, fine_td=td, tile_size=64,
+                                   max_clusters=8, engine=eng,
+                                   two_level="super", super_factor=4)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+        np.testing.assert_array_equal(np.asarray(hp.t), np.asarray(hb.t))
+
+
+def test_vis_band_decision_parity(setup_resident):
+    """vis_band (visibility-only dropout, consumed by integrators/bdpt.py):
+    the OCCLUSION DECISION |t - len| <= eps must match the closest-hit
+    XLA engine's on every lane, across the resident-cluster, super, and
+    DMA kernels; retired lanes report t = -1.0 (never band-visible)."""
+    from cudapathtracer_tpu.utils.constants import EPS_VISIBILITY
+
+    scene, td, pd, o, d = setup_resident
+    # shadow-style queries: from the camera hits toward a fixed target
+    # point, len = distance (some segments occluded, some clear)
+    h0 = traversal.trace_bruteforce(o, d, scene)
+    t0 = jnp.where(h0.tri >= 0, h0.t - 1e-3, 1.0)
+    pos = o + d * t0
+    tgt = Vec3.full((o.x.shape[0],), 0.5, 0.99, 0.5)
+    seg = tgt - pos
+    ln = jnp.sqrt(seg.x**2 + seg.y**2 + seg.z**2)
+    dirn = Vec3(seg.x / ln, seg.y / ln, seg.z / ln)
+    cap = ln + 2.0 * EPS_VISIBILITY
+    band = 3.0 * EPS_VISIBILITY
+
+    hx = packets.trace_packets(pos, dirn, pd, fine_td=td, tile_size=64,
+                               engine="xla", t_cap=cap)
+    ref_vis = np.abs(np.asarray(hx.t) - np.asarray(ln)) <= EPS_VISIBILITY
+
+    for kw in (dict(engine="pallas_interpret"),
+               dict(engine="pallas_interpret", two_level="super",
+                    super_factor=2)):
+        hv = packets.trace_packets(pos, dirn, pd, fine_td=td, tile_size=64,
+                                   t_cap=cap, vis_band=band, sort=True,
+                                   **kw)
+        tv = np.asarray(hv.t)
+        vis = np.abs(tv - np.asarray(ln)) <= EPS_VISIBILITY
+        np.testing.assert_array_equal(vis, ref_vis)
+        # retired lanes carry the branded occluded report, not a real t
+        retired = tv == -1.0
+        assert not np.any(vis & retired)
+
+
+def test_vis_band_decision_parity_dma(setup):
+    """Same vis_band decision contract through the DMA-pipelined kernel
+    (C=16 fixture is not resident-eligible, so this exercises dense.py)."""
+    from cudapathtracer_tpu.utils.constants import EPS_VISIBILITY
+
+    scene, td, pd, o, d = setup
+    h0 = traversal.trace_bruteforce(o, d, scene)
+    t0 = jnp.where(h0.tri >= 0, h0.t - 1e-3, 1.0)
+    pos = o + d * t0
+    tgt = Vec3.full((o.x.shape[0],), 0.5, 0.99, 0.5)
+    seg = tgt - pos
+    ln = jnp.sqrt(seg.x**2 + seg.y**2 + seg.z**2)
+    dirn = Vec3(seg.x / ln, seg.y / ln, seg.z / ln)
+    cap = ln + 2.0 * EPS_VISIBILITY
+
+    hx = packets.trace_packets(pos, dirn, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, engine="xla", t_cap=cap)
+    ref_vis = np.abs(np.asarray(hx.t) - np.asarray(ln)) <= EPS_VISIBILITY
+    hv = packets.trace_packets(pos, dirn, pd, fine_td=td, tile_size=64,
+                               max_clusters=8, engine="pallas_interpret",
+                               t_cap=cap, vis_band=3.0 * EPS_VISIBILITY)
+    vis = np.abs(np.asarray(hv.t) - np.asarray(ln)) <= EPS_VISIBILITY
+    np.testing.assert_array_equal(vis, ref_vis)
