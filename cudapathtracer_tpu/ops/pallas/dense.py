@@ -36,6 +36,7 @@ and the XLA slot scan as interchangeable).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,9 +70,10 @@ __all__ = [
 ]
 
 
-def _make_kernel(unroll, fold=None, vis_band=0.0):
+def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
     fold = fold or _mt_fold_pc
     assert unroll <= _NBUF
+    assert fast <= _NBUF
 
     def _kernel(meta_ref, boxes_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
                 out_ref, slid, slent, sl_sem, buf, sem):
@@ -201,10 +203,46 @@ def _make_kernel(unroll, fold=None, vis_band=0.0):
                 no_open = (bits >> unroll) == 0
                 return (nxt, exhausted | no_open, t_best, id_best)
 
-            # all-dead tiles skip the loop entirely
-            init = (jnp.int32(0), (cnt == 0) | (jnp.max(t_init) <= 0.0),
-                    t_init, id_init)
-            _, _, t_best, id_best = jax.lax.while_loop(cond, body, init)
+            # COUNT LADDER (ported from the resident kernel, r4): tiles
+            # with cnt <= `fast` DMA and fold exactly their cnt blocks
+            # unconditionally — no box gates, no vector->scalar sync, no
+            # early exit (half the entry-sorted tiles carry <= 1
+            # candidate; a gate sync costs more than one ungated fold).
+            # All n <= _NBUF fetches start before the first wait, so fold
+            # u hides the latency of wait u+1. Branch 0 (cnt == 0: dead /
+            # straggler-compacted tiles) retires the old per-tile
+            # jnp.max(t_init) all-dead probe — the cull forces cnt = 0
+            # whenever every lane is masked, same argument as the
+            # resident kernel's ladder.
+            def make_fast(n):
+                def fast_tile(t0, i0):
+                    fsids = [slid[g, jnp.minimum(1 + u, W - 1)]
+                             for u in range(n)]
+                    for u in range(n):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
+                        ).start()
+                    tb, ib = t0, i0
+                    for u in range(n):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
+                        ).wait()
+                        tb, ib = fold_l(buf[u], ox, oy, oz, dx, dy, dz,
+                                        tb, ib, num_tris)
+                    return tb, ib
+                return fast_tile
+
+            def loop_tile(t0, i0):
+                init = (jnp.int32(0), cnt == 0, t0, i0)
+                _, _, tb, ib = jax.lax.while_loop(cond, body, init)
+                return tb, ib
+
+            branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
+            for n in range(1, fast + 1):
+                branches.append(make_fast(n))
+            branches.append(loop_tile)                    # cnt > fast
+            t_best, id_best = jax.lax.switch(
+                jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
@@ -218,10 +256,12 @@ def _make_kernel(unroll, fold=None, vis_band=0.0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "unroll", "bw", "vis_band"))
+                   static_argnames=("interpret", "unroll", "bw", "fast",
+                                    "vis_band"))
 def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
                     interpret: bool = False, unroll: int = _NBUF,
-                    bw: bool = False, vis_band: float = 0.0):
+                    bw: bool = False, fast: int | None = None,
+                    vis_band: float = 0.0):
     """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
@@ -237,6 +277,10 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
     shortlisted clusters only (caller handles the overflow fallback).
     """
     Tl, M = ids.shape
+    if fast is None:
+        # count-ladder width, same knob as the resident kernel (capped at
+        # the ring depth: a fast branch's fetches must all be in flight)
+        fast = min(_NBUF, int(os.environ.get("PT_KERNEL_FAST", "4")))
     P = rays.shape[2]
     C = cl_packed.shape[2]
     G = _TILE_GROUP
@@ -284,7 +328,7 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
     )
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc,
-                     vis_band=float(vis_band)),
+                     fast=fast, vis_band=float(vis_band)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,

@@ -56,7 +56,7 @@ def test_two_process_distributed_render():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -69,3 +69,4 @@ def test_two_process_distributed_render():
         )
         assert f"OK process {pid}" in out, out[-2000:]
         assert "sharded checkpoint resume bit-exact" in out, out[-2000:]
+        assert "cross-process grad psum parity" in out, out[-2000:]

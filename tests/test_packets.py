@@ -203,6 +203,51 @@ def test_pallas_resident_engine_interpret_matches_xla():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_forced_dma_kernel_matches_resident(monkeypatch):
+    """A resident-ELIGIBLE scene (C=128) forced down the DMA-pipelined
+    kernel (ops/pallas/dense.py) by shrinking RESIDENT_VMEM_BUDGET must
+    agree with the resident kernel bit-for-bit on tri and to ULP on t.
+
+    This is the documented kernel boundary (round-4 verdict item 5): the
+    resident kernel covers scenes whose (K+1, 16, C) pack fits
+    RESIDENT_VMEM_BUDGET (~1.1M tris at the 72 MB default); bigger scenes
+    take the DMA path, which shares the fold/gate/count-ladder code but
+    streams cluster blocks HBM -> VMEM. The forced run keeps the fallback
+    path green even while no in-repo scene exceeds the budget."""
+    from cudapathtracer_tpu.ops.pallas import dense_resident
+
+    scene = procedural.to_scene(procedural.cornell_with_sphere_mesh(subdiv=2))
+    accel = build_bvh_for_scene(scene, leaf_size=4, cluster_size=128)
+    td = traversal.make_trace_data(scene, accel.fine)
+    pd = packets.make_packet_data(
+        scene,
+        Vec3(accel.cl_lo_x, accel.cl_lo_y, accel.cl_lo_z),
+        Vec3(accel.cl_hi_x, accel.cl_hi_y, accel.cl_hi_z),
+        accel.cl_tri,
+    )
+    assert dense_resident.resident_fits(pd.num_clusters, pd.cluster_size)
+
+    cam = make_camera(width=16, height=16)
+    idx = jnp.arange(16 * 16, dtype=jnp.uint32)
+    keys = pixel_keys(sample_key(jax.random.PRNGKey(0), 0), idx)
+    o, d = camera_rays(cam, idx, keys, jitter=False)
+    mask = (jnp.arange(256) % 7) != 0
+
+    kw = dict(fine_td=td, mask=mask, tile_size=64, max_clusters=16,
+              engine="pallas_interpret")
+    h_res = packets.trace_packets(o, d, pd, **kw)
+
+    monkeypatch.setattr(dense_resident, "RESIDENT_VMEM_BUDGET", 1024)
+    assert not dense_resident.resident_fits(pd.num_clusters,
+                                            pd.cluster_size)
+    h_dma = packets.trace_packets(o, d, pd, **kw)
+
+    np.testing.assert_array_equal(np.asarray(h_dma.tri),
+                                  np.asarray(h_res.tri))
+    np.testing.assert_allclose(np.asarray(h_dma.t), np.asarray(h_res.t),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_windowed_sort_exact(setup):
     """sort_window > 0 (windowed ray sorting) stays exact vs brute force —
     any grouping is correct because each (ray, tri) test is position-
