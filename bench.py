@@ -159,6 +159,44 @@ def main():
         result["bdpt_vs_baseline"] = round(
             brays / bdt / 1e6 / BASELINE_MRAYS, 3)
 
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        # train-step metric (round-4 verdict item 3): one jitted
+        # value_and_grad step of the inverse-rendering L2 loss on the
+        # headline scene — the diff pass traces through the packet engine
+        # (diff/render_grad.py), so this guards the gradient path's TPU
+        # throughput. grad_mrays uses the forward ray accounting
+        # (pixels*spp*(bounces+1)); the true work is ~2 forward traces
+        # (checkpoint remat) + backward math.
+        import dataclasses
+
+        from cudapathtracer_tpu.diff import render_grad as rg
+
+        tsize = int(os.environ.get("BENCH_TRAIN_SIZE", "256"))
+        tspp = int(os.environ.get("BENCH_TRAIN_SPP", "1"))
+        tcfg = dataclasses.replace(cfg, width=tsize, height=tsize,
+                                   spp=tspp, samples_per_call=tspp,
+                                   sample_batch=1,
+                                   reuse_primary_hit=False)
+        tcam = make_camera(pos=(0.0, 2.0, 3.4), width=tsize, height=tsize,
+                           focal_length=2.0)
+        tkey = jax.random.PRNGKey(1234)
+        target = rg.render_image_diff(scene, tcam, tcfg,
+                                      jax.random.PRNGKey(9), tspp, bvh=bvh)
+        loss_fn = rg.make_loss_fn(scene, tcam, tcfg, tkey, tspp, bvh=bvh)
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        p0 = rg.targets_of(scene)
+        loss, _ = step(p0, target)
+        float(np.asarray(loss))
+        tdt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            loss, grads = step(p0, target)
+            float(np.asarray(loss))
+            tdt = min(tdt, time.time() - t0)
+        result["train_step_ms"] = round(tdt * 1000.0, 1)
+        result["grad_mrays"] = round(
+            tsize * tsize * tspp * (tcfg.num_bounces + 1) / tdt / 1e6, 2)
+
     print(json.dumps(result))
     # extra context on stderr (driver only parses stdout JSON)
     import sys

@@ -147,7 +147,9 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                     su = s + u
                     sid = slid[g, jnp.minimum(1 + su, W - 1)]
                     sids.append(sid)
-                    box6 = tuple(boxes_ref[sid, j] for j in range(6))
+                    box6 = tuple(
+                        boxes_ref[sid >> 4, ((sid & 15) << 3) + j]
+                        for j in range(6))  # 16 boxes per SMEM row
                     h = _box_hit_row(
                         box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
                     wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))

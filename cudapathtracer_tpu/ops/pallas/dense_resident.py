@@ -67,23 +67,36 @@ def resident_fits(num_clusters: int, cluster_size: int) -> bool:
 
 
 def pack_cluster_boxes(pd) -> jnp.ndarray:
-    """PacketData -> (K+1, 8) f32 cluster AABBs [lo.xyz, hi.xyz, 0, 0].
+    """PacketData -> (ceil((K+1)/16), 128) f32 cluster AABBs, 16 boxes of
+    8 floats [lo.xyz, hi.xyz, 0, 0] per row.
 
     Rides the kernel's scalar-prefetch path into SMEM: the box gate reads
     6 SCALARS per slot instead of slicing 6 broadcast rows out of the VMEM
     block — the (16, C) cluster slice then only happens inside the gated
-    fold branch, so a gated-out slot touches no VMEM at all. The sentinel
-    row (K) is a degenerate far-away point box (all coords 1e7, beyond any
-    search cap) so it can never pass a gate."""
-    far = jnp.full((1,), 1.0e7, jnp.float32)
+    fold branch, so a gated-out slot touches no VMEM at all.
+
+    Why 16 boxes per row: SMEM pads every row to 128 lanes, so the older
+    (K+1, 8) layout burned 512 B per cluster and overflowed the ~1 MB SMEM
+    at K ~ 2000 (measured: C=128 at 328k tris, K=3936 -> 1.9 MB compile
+    failure). Packing 8-float boxes 16-to-a-row is exactly one 128-lane
+    row per 16 clusters; the kernels read box floats as
+    ``boxes_ref[sid >> 4, ((sid & 15) << 3) + j]`` (two extra scalar ops
+    per slot). The sentinel box (index K) and any row-padding slots are
+    degenerate far-away point boxes (all coords 1e7, beyond any search
+    cap) so they can never pass a gate."""
+    K1 = pd.cl_lo.x.shape[0] + 1
+    rows = -(-K1 // 16)
+    pad = rows * 16 - K1
+    far = jnp.full((1 + pad,), 1.0e7, jnp.float32)
 
     def col(v):
         return jnp.concatenate([v.astype(jnp.float32), far])[:, None]
 
     z = jnp.zeros_like(col(pd.cl_lo.x))
-    return jnp.concatenate(
+    flat = jnp.concatenate(
         [col(pd.cl_lo.x), col(pd.cl_lo.y), col(pd.cl_lo.z),
          col(pd.cl_hi.x), col(pd.cl_hi.y), col(pd.cl_hi.z), z, z], axis=1)
+    return flat.reshape(rows, 128)
 
 
 def pack_clusters_resident(pd) -> jnp.ndarray:
@@ -409,7 +422,9 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                         sid = slid[g, jnp.minimum(1 + su, W - 1)]
                         sids.append(sid)
                         ok_u = su < cnt                    # scalar bool
-                        box6 = tuple(boxes_ref[sid, j] for j in range(6))
+                        box6 = tuple(
+                            boxes_ref[sid >> 4, ((sid & 15) << 3) + j]
+                            for j in range(6))  # 16 boxes per SMEM row
                         hit = _box_hit_row(
                             box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
                         wts.append(jnp.where(
@@ -594,7 +609,9 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
                         # in, degenerate sentinel cluster never folds a hit
                         sid = jnp.minimum(sup * F + j, K)
                         sids.append(sid)
-                        box6 = tuple(boxes_ref[sid, jj] for jj in range(6))
+                        box6 = tuple(
+                            boxes_ref[sid >> 4, ((sid & 15) << 3) + jj]
+                            for jj in range(6))  # 16 boxes per SMEM row
                         hit = _box_hit_row(
                             box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
                         wts.append(jnp.where(
