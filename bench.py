@@ -115,8 +115,15 @@ def main():
 
     if with_sweep:
         # sponza-scale sweep: the baseline scene is 262k tris — report the
-        # 82k and 328k numbers so vs_baseline is apples-to-apples
-        for sub, name in ((4, "mrays_82k"), (5, "mrays_328k")):
+        # 82k and 328k numbers so vs_baseline is apples-to-apples, plus
+        # the 1.31M-tri point (colonnade subdiv 6, ~4x sponza: past the
+        # VMEM-resident budget, exercising the DMA-pipelined kernel) to
+        # prove monotone degradation with scene size (round-4 verdict
+        # item 4). BENCH_BIG=0 skips the big point.
+        sweep = [(4, "mrays_82k"), (5, "mrays_328k")]
+        if os.environ.get("BENCH_BIG", "1") != "0":
+            sweep.append((6, "mrays_1310k"))
+        for sub, name in sweep:
             if sub == subdiv:
                 result[name] = round(mrays, 2)
                 continue

@@ -521,14 +521,27 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
         from .pallas.dense_resident import resident_fits as _rfits
 
         can_resident = _rfits(K, C)
-    use_super = two_level == "super" and can_resident and K > 2 * F
+    can_super = can_resident and K > 2 * F
+    use_super = two_level == "super" and can_super
     if two_level == "super" and not use_super:
-        two_level = None  # fall back to the auto flat/two-level heuristic
+        two_level = None  # fall back to the auto heuristic
     if two_level is None:
-        # auto: worth it once the flat cull's (Tl, K) interval tests and
-        # O(K) top_k clearly exceed the two-level path's
-        # (Tl, S) + (Tl, Ms*F) work — i.e. at sponza-class cluster counts
-        two_level = K >= 4 * Ms * F
+        # auto (re-measured r4 at 328k tris): the FLAT (Tl, K) cull wins
+        # up to K ~ 2000 — flat C=512 (K=917) 75 ms/trace vs super 76-80
+        # and flat C=256 (K=1842) 107 vs the r3 two-level C=256 53 s(!)
+        # cliff (the XLA two-level's expansion cap DROPS close members
+        # and collapses the U bound on fat tiles). Past that, prefer
+        # SUPER shortlists (no drops by construction) whenever the
+        # resident kernel is in play; the capped two-level is the last
+        # resort for huge non-resident scenes (its drops cost per-ray
+        # fallback work, never correctness).
+        if K <= 2048:
+            two_level = False
+        elif can_super:
+            use_super = True
+            two_level = False  # unused when use_super
+        else:
+            two_level = True
 
     if use_super:
         # ---- supercluster-granular shortlist ---------------------------

@@ -547,6 +547,9 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
     """
     fold = fold or _mt_fold_pc
     assert groups * F + 1 <= 24, (groups, F)
+    # fast branches gate `fast` whole supers in one sync (no exit bit):
+    # their bit weights must also stay f32-exact (< 2^24) and int32-safe
+    assert fast * F <= 24, (fast, F)
 
     def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
@@ -711,6 +714,7 @@ def dense_intersect_resident_super(ids, counts, entries, rays, cl_packed,
     F = int(super_factor)
     if fast is None:
         fast = int(os.environ.get("PT_KERNEL_FAST_SUPER", "2"))
+    fast = max(1, min(int(fast), 24 // F))  # fast*F gate bits, f32-exact
     if groups is None:
         # groups*F member gates + 1 exit bit per sync; F=8 -> 2 supers per
         # sync matches the cluster kernel's unroll=8 + count-ladder rates

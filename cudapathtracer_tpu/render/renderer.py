@@ -472,11 +472,16 @@ def adaptive_cluster_size(num_tris: int) -> int:
     trace at 328k tris with C=256 (K=1842) vs 103 ms with C=1024 (K=459).
     Measured optima (ms per sorted 1M-ray bounce trace, r3): 20k tris ->
     C=256 (53.2 vs 55.7 at 640); 82k -> C=512 (69.1 vs 73.3/76.0 at
-    256/1024); 328k -> C=1024. ~T/160 hits all three; the [256, 1024]
-    clamps keep small scenes at the fixed-cost floor and big scenes under
-    the K cliff. NOTE: past ~360k tris the 1024 cap lets K grow beyond the
-    two-level threshold again — revisit (bigger C or a fixed two-level
-    cull) before relying on >400k-tri single-chip scenes."""
+    256/1024); 328k -> C=1024 (r4 re-measure: C=512 flat 75.25 ties
+    C=1024 flat 74.85; C=256 flat 106.8). ~T/160 hits all three; the
+    [256, 1024] clamps keep small scenes at the fixed-cost floor and big
+    scenes at the coarse-fold optimum. Past ~1.1M tris the packed scene
+    exceeds the resident VMEM budget and the DMA-pipelined kernel takes
+    over (same fold/gate/ladder code, tests/test_packets.py forced-DMA
+    parity); the r3 two-level K cliff is gone — the auto cull is FLAT up
+    to K ~ 2048 and super shortlists (no member drops) beyond
+    (ops/packets.py r4 heuristic), so no C/K combination drops close
+    candidates anymore."""
     c = max(256, round(num_tris / 160))
     return min(1024, 128 * max(2, round(c / 128)))
 
