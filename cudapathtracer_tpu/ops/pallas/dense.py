@@ -54,7 +54,9 @@ from .dense_resident import (  # shared layout + math + constants
     _box_hit_row,
     _bw_fold_pc,
     _mt_fold_pc,
-    _vis_fold,
+    _slab_init,
+    _slab_reduce,
+    _vis_drop,
     pack_cluster_boxes,
     pack_clusters_resident,
 )
@@ -108,12 +110,12 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                                jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
                                _MASKED_T_INIT)
             id_init = jnp.full((P, 1), -1, jnp.int32)
-            # visibility mode: occluded-lane dropout (see dense_resident)
-            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
-                      if vis_band > 0.0 else fold)
+            # visibility mode: occluded-lane dropout at the lane-reduction
+            # points (see dense_resident._vis_drop)
+            lo_col = tile[:, 7:8] - vis_band
 
             def cond(carry):
-                s, done, t_best, id_best = carry
+                s, done, t128, id128 = carry
                 return jnp.logical_not(done)
 
             # guarded reciprocals: a zero component would make the slab
@@ -133,14 +135,17 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
 
             def body(carry):
-                s, done, t_best, id_best = carry
+                s, done, t128, id128 = carry
                 # Phase 1 — gate the whole group from SMEM boxes against
-                # the group-start t_best (conservative), one scalar sync.
-                # The early-exit verdict rides the same bitmask as bit
-                # `unroll` (see dense_resident.py for the equivalence
+                # the group-start running best (conservative), one scalar
+                # sync. The early-exit verdict rides the same bitmask as
+                # bit `unroll` (see dense_resident.py for the equivalence
                 # argument). Bool rows convert to f32 weights BEFORE the
                 # concat: Mosaic cannot relayout concatenated i1 vregs.
-                t_row = jnp.transpose(t_best)              # (1, P)
+                t_col = jnp.min(t128, axis=1, keepdims=True)
+                if vis_band > 0.0:
+                    t_col = _vis_drop(t_col, lo_col)
+                t_row = jnp.transpose(t_col)               # (1, P)
                 sids = []
                 wts = []
                 for u in range(unroll):
@@ -190,20 +195,20 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                             cl_hbm.at[sids[u]], buf.at[pfx[u]],
                             sem.at[pfx[u]]).wait()
                         cl = buf[pfx[u]]               # (16, C) VMEM
-                        return fold_l(
+                        return fold(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
-                    t_best, id_best = jax.lax.cond(
+                    t128, id128 = jax.lax.cond(
                         bvals[u] != 0,
                         do_fold,
                         lambda tb, ib: (tb, ib),
-                        t_best, id_best,
+                        t128, id128,
                     )
 
                 nxt = s + unroll
                 exhausted = nxt >= cnt
                 no_open = (bits >> unroll) == 0
-                return (nxt, exhausted | no_open, t_best, id_best)
+                return (nxt, exhausted | no_open, t128, id128)
 
             # COUNT LADDER (ported from the resident kernel, r4): tiles
             # with cnt <= `fast` DMA and fold exactly their cnt blocks
@@ -224,20 +229,21 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                         pltpu.make_async_copy(
                             cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
                         ).start()
-                    tb, ib = t0, i0
+                    tb, ib = _slab_init(t0, i0)
                     for u in range(n):
                         pltpu.make_async_copy(
                             cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
                         ).wait()
-                        tb, ib = fold_l(buf[u], ox, oy, oz, dx, dy, dz,
-                                        tb, ib, num_tris)
-                    return tb, ib
+                        tb, ib = fold(buf[u], ox, oy, oz, dx, dy, dz,
+                                      tb, ib, num_tris)
+                    return _slab_reduce(tb, ib)
                 return fast_tile
 
             def loop_tile(t0, i0):
-                init = (jnp.int32(0), cnt == 0, t0, i0)
+                t128, id128 = _slab_init(t0, i0)
+                init = (jnp.int32(0), cnt == 0, t128, id128)
                 _, _, tb, ib = jax.lax.while_loop(cond, body, init)
-                return tb, ib
+                return _slab_reduce(tb, ib)
 
             branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
             for n in range(1, fast + 1):
@@ -245,6 +251,8 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             branches.append(loop_tile)                    # cnt > fast
             t_best, id_best = jax.lax.switch(
                 jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
+            if vis_band > 0.0:
+                t_best = _vis_drop(t_best, lo_col)   # final normalization
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1

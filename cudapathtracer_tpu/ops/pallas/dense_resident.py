@@ -10,9 +10,12 @@ at all.
 
 Orientation: rays along SUBLANES ((P, 1) columns sliced from a (P, 8)
 per-tile block), triangles along LANES ((1, C) rows from the resident
-block). The closest-hit fold reduces over lanes to (P, 1) and the two
-outputs ride a (Tl, P, 2) f32 array ([t, id + 2^23]), so no transposes
-appear anywhere.
+block). The closest-hit fold is DEFERRED across lane columns: each ray
+carries (P, 128) per-column running minima (_slab_update, elementwise
+only) and the cross-lane reduction to (P, 1) happens once per unroll
+group (gate/early-exit row) plus once per tile (_slab_reduce) — not
+twice per slot. The two outputs ride a (Tl, 2, P) f32 array
+([t, id + 2^23]).
 
 Shortlists (entry-sorted, from ops/packets.py) stage HBM -> SMEM per tile
 group exactly as in dense.py, and the same early exit applies: a tile
@@ -136,9 +139,66 @@ def pack_clusters_resident(pd) -> jnp.ndarray:
     return packed
 
 
-def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
+def _slab_update(ts, tid, t128, id128):
+    """Fold a (P, C) test block into the DEFERRED (P, 128) closest slabs.
+
+    Round-4 restructuring: instead of reducing every slot's (P, C) tests
+    to a (P, 1) closest hit (two cross-lane reductions + a broadcast
+    compare PER SLOT — measured ~25% of the fold at C=256), each ray
+    carries 128 PER-LANE-COLUMN running minima. Per 128-lane sub-block
+    the update is a handful of cheap elementwise ops; the cross-lane
+    reduction happens ONCE per tile (_slab_reduce) plus once per unroll
+    group for the gate/early-exit row. Winner selection is exact-compare
+    on identical f32 values, so the final (t, id) is bit-identical to
+    the per-slot reduction's (same global min-t, lower-id tie-break —
+    per-lane sequential ties keep the lower id, cross-lane ties resolve
+    in _slab_reduce).
+
+    The `better` predicate is the old fold's with its two redundant terms
+    dropped: (ts < MAX_FLOAT) — a rejected candidate (ts == MAX_FLOAT)
+    can't win the strict compare (t128 <= cap <= MAX_FLOAT) and its tie
+    needs tid < id128 which only -1 columns fail — and (id128 >= 0) in
+    the tie — real ids are >= 0 so tid < -1 is never true, which also
+    keeps the cap semantics (a hit exactly AT the init cap, id128 == -1,
+    must NOT update: it reports as miss). Masked lanes carry -3e38 and
+    no candidate (>= 0 or MAX_FLOAT) beats or ties them."""
+    C = ts.shape[1]
+    for c0 in range(0, C, 128):
+        ts_c = jax.lax.slice_in_dim(ts, c0, c0 + 128, axis=1)
+        tid_c = jax.lax.slice_in_dim(tid, c0, c0 + 128, axis=1)
+        better = (ts_c < t128) | ((ts_c == t128) & (tid_c < id128))
+        t128 = jnp.where(better, ts_c, t128)
+        id128 = jnp.where(better, tid_c, id128)
+    return t128, id128
+
+
+def _slab_reduce(t128, id128):
+    """(P, 128) deferred slabs -> ((P, 1) t, (P, 1) id), the per-ray
+    closest hit with the global lower-id tie-break. Runs once per tile."""
+    t_best = jnp.min(t128, axis=1, keepdims=True)
+    is_min = (t128 == t_best) & (id128 >= 0)
+    id_best = jnp.min(
+        jnp.where(is_min, id128, _TRI_SENTINEL), axis=1, keepdims=True
+    )
+    id_best = jnp.where(id_best >= _TRI_SENTINEL, -1, id_best)
+    return t_best, id_best
+
+
+def _slab_init(t_init, id_init):
+    """Broadcast the (P, 1) fold init (per-ray search cap / masked
+    sentinel, id -1) across the (P, 128) deferred slab columns. Every
+    column starts at the cap, so candidates at/beyond it never update and
+    the final _slab_reduce min is the cap when nothing beat it — exactly
+    the old (P, 1) fold-init contract."""
+    P = t_init.shape[0]
+    return (jnp.broadcast_to(t_init, (P, 128)),
+            jnp.broadcast_to(id_init, (P, 128)))
+
+
+def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t128, id128, num_tris):
     """One resident cluster block (16, C) against one ray tile ((P, 1)
-    columns) -> fold into the running closest hit ((P, 1) f32/i32)."""
+    columns) -> fold into the running DEFERRED closest slabs ((P, 128)
+    f32/i32, see _slab_update)."""
     v0x = cl[0:1, :]
     v0y = cl[1:2, :]
     v0z = cl[2:3, :]
@@ -170,29 +230,18 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     b1 = rx * dx + ry * dy + rz * dz
     b2 = 1.0 - b0 - b1
     t = e2x * rx + e2y * ry + e2z * rz
-    # NOTE no (ts <= t_best) term: the closest-fold below makes it
-    # redundant (candidates worse than t_best lose `better`; equal-t
-    # candidates resolve by the same lower-id rule either way). No
-    # (tid < num_tris) term either: every pad/sentinel triangle is packed
-    # with all-zero vertices (make_packet_data zeroes them), so a == 0 and
-    # the parallel test rejects it — the id range check was redundant.
-    # t <= 0 folds the old (ts > 0) validity in; NaN t (parallel lanes'
-    # unguarded 1/a) compares False but `parallel` already covers those.
+    # NOTE no (ts <= t_cap) term: the slab update makes it redundant
+    # (candidates worse than the running column minima lose `better`;
+    # equal-t candidates resolve by the same lower-id rule either way).
+    # No (tid < num_tris) term either: every pad/sentinel triangle is
+    # packed with all-zero vertices (make_packet_data zeroes them), so
+    # a == 0 and the parallel test rejects it — the id range check was
+    # redundant. t <= 0 folds the old (ts > 0) validity in; NaN t
+    # (parallel lanes' unguarded 1/a) compares False but `parallel`
+    # already covers those.
     reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0) | (t <= 0.0)
     ts = jnp.where(reject, MAX_FLOAT, t)
-
-    t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
-    is_min = (ts == t_new) & (ts < MAX_FLOAT)
-    id_new = jnp.min(
-        jnp.where(is_min, tid, _TRI_SENTINEL), axis=1, keepdims=True
-    )
-    better = (t_new < t_best) | (
-        (t_new == t_best) & (id_new < id_best)
-        & (id_new < _TRI_SENTINEL) & (id_best >= 0)
-    )
-    t_out = jnp.where(better, t_new, t_best)
-    id_out = jnp.where(better, id_new, id_best)
-    return t_out, id_out
+    return _slab_update(ts, tid, t128, id128)
 
 
 def pack_clusters_resident_bw(pd) -> jnp.ndarray:
@@ -229,7 +278,7 @@ def pack_clusters_resident_bw(pd) -> jnp.ndarray:
     return packed
 
 
-def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
+def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t128, id128, num_tris):
     """Baldwin-Weber fold: one (16, C) BW block against one ray tile.
 
     Decision-equivalent to _mt_fold_pc in exact arithmetic (the parallel
@@ -271,38 +320,27 @@ def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
     reject = (parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
               | (t <= 0.0))
     ts = jnp.where(reject, MAX_FLOAT, t)
-
-    t_new = jnp.min(ts, axis=1, keepdims=True)              # (P, 1)
-    is_min = (ts == t_new) & (ts < MAX_FLOAT)
-    id_new = jnp.min(
-        jnp.where(is_min, tid, _TRI_SENTINEL), axis=1, keepdims=True
-    )
-    better = (t_new < t_best) | (
-        (t_new == t_best) & (id_new < id_best)
-        & (id_new < _TRI_SENTINEL) & (id_best >= 0)
-    )
-    t_out = jnp.where(better, t_new, t_best)
-    id_out = jnp.where(better, id_new, id_best)
-    return t_out, id_out
+    return _slab_update(ts, tid, t128, id128)
 
 
-def _vis_fold(fold, lo):
+def _vis_drop(t, lo):
     """Occluded-lane dropout for VISIBILITY queries (BDPT shadow rays).
 
     The caller's decision is ``|t_closest - len| <= eps`` (kernel.cu:402-405).
-    A found hit strictly below the band floor ``lo <= len - eps`` proves the
-    closest hit lies below it too (min only decreases), i.e. the lane is
-    OCCLUDED no matter what the remaining candidates hold. Dropping its
-    best-t to the masked sentinel retires the lane on the spot: box gates
-    fail (tmin <= t_row can't pass -3e38), no later fold can update it
-    (t_new >= 0 is never < -3e38... and never equal), and it stops holding
-    the tile's early exit open. packets._finish normalizes the sentinel to
-    the vis-mode occluded report (t = -1.0, decision-equivalent for any
-    len >= 0 since |−1 − len| > eps always)."""
-    def f(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris):
-        t, i = fold(cl, ox, oy, oz, dx, dy, dz, t_best, id_best, num_tris)
-        return jnp.where(t < lo, _MASKED_T_INIT, t), i
-    return f
+    A running best strictly below the band floor ``lo <= len - eps`` proves
+    the closest hit lies below it too (min only decreases), i.e. the lane
+    is OCCLUDED no matter what the remaining candidates hold. With the
+    deferred slabs this fires at the two lane-reduction points instead of
+    per slot: (a) on the gate/early-exit row once per unroll group —
+    dropping t_row to the masked sentinel retires the lane from the box
+    gates (tmin <= -3e38 never passes) and stops it holding the tile's
+    early exit open; (b) on the final _slab_reduce output — so the tile
+    reports the sentinel whenever the closest hit is below the floor,
+    which packets._finish normalizes to the vis-mode occluded report
+    (t = -1.0, decision-equivalent for any len >= 0 since |-1 - len| > eps
+    always). Decision-identical to the retired per-slot _vis_fold wrapper:
+    both report the sentinel exactly for {lanes whose closest hit < lo}."""
+    return jnp.where(t < lo, _MASKED_T_INIT, t)
 
 
 def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
@@ -382,17 +420,16 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             # visibility mode: band floor = per-ray cap (row 7) − band.
             # row 7 is min(scene exit, caller cap), so the floor is <= the
             # true len − eps — dropping only when strictly below it is
-            # conservative-exact (see _vis_fold).
-            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
-                      if vis_band > 0.0 else fold)
+            # conservative-exact (see _vis_drop).
+            lo_col = tile[:, 7:8] - vis_band
 
             def cond(carry):
-                s, done, t_best, id_best = carry
+                s, done, t128, id128 = carry
                 return jnp.logical_not(done)
 
             def make_body(unroll, oxr, oyr, ozr, idxr, idyr, idzr):
                 def body(carry):
-                    s, done, t_best, id_best = carry
+                    s, done, t128, id128 = carry
                     # Phase 1 — gate ALL unroll slots against the group-start
                     # t_best (it only shrinks, so this is conservative) and
                     # pack the per-slot any-live-lane verdicts into ONE
@@ -414,7 +451,14 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                     # 103 ms at 328k (C=1024): the extra branches and the
                     # narrower folds cost more than the skipped work saves,
                     # at every scale tried.
-                    t_row = jnp.transpose(t_best)          # (1, P)
+                    #
+                    # The per-ray running best is DEFERRED across slab
+                    # columns (see _slab_update): one cross-lane min per
+                    # group recovers it for the gate/exit row.
+                    t_col = jnp.min(t128, axis=1, keepdims=True)
+                    if vis_band > 0.0:
+                        t_col = _vis_drop(t_col, lo_col)
+                    t_row = jnp.transpose(t_col)           # (1, P)
                     sids = []
                     wts = []
                     for u in range(unroll):
@@ -447,19 +491,19 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
 
                         def do_fold(tb, ib, sid=sid):
                             cl = cl_ref[sid]           # (16, C), VMEM slice
-                            return fold_l(
+                            return fold(
                                 cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
-                        t_best, id_best = jax.lax.cond(
+                        t128, id128 = jax.lax.cond(
                             (bits & (1 << u)) != 0,
                             do_fold,
                             lambda tb, ib: (tb, ib),
-                            t_best, id_best,
+                            t128, id128,
                         )
                     nxt = s + unroll
                     exhausted = nxt >= cnt
                     no_open = (bits >> unroll) == 0
-                    return (nxt, exhausted | no_open, t_best, id_best)
+                    return (nxt, exhausted | no_open, t128, id128)
                 return body
 
             # COUNT LADDER (r3): half the entry-sorted tiles carry <= 1
@@ -476,13 +520,13 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             # vector->scalar sync paid by EVERY tile.
             def make_fast(n):
                 def fast_tile(t0, i0):
-                    tb, ib = t0, i0
+                    tb, ib = _slab_init(t0, i0)
                     for u in range(n):
                         sid = slid[g, jnp.minimum(1 + u, W - 1)]
                         cl = cl_ref[sid]       # (16, C), VMEM slice
-                        tb, ib = fold_l(
+                        tb, ib = fold(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
-                    return tb, ib
+                    return _slab_reduce(tb, ib)
                 return fast_tile
 
             def loop_tile(t0, i0):
@@ -499,9 +543,10 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                 body = make_body(unroll, row[0:1, :], row[1:2, :],
                                  row[2:3, :], _inv(row[3:4, :]),
                                  _inv(row[4:5, :]), _inv(row[5:6, :]))
-                init = (jnp.int32(0), cnt == 0, t0, i0)
+                t128, id128 = _slab_init(t0, i0)
+                init = (jnp.int32(0), cnt == 0, t128, id128)
                 _, _, tb, ib = jax.lax.while_loop(cond, body, init)
-                return tb, ib
+                return _slab_reduce(tb, ib)
 
             branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
             for n in range(1, fast + 1):
@@ -509,6 +554,11 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             branches.append(loop_tile)                    # cnt > fast
             t_best, id_best = jax.lax.switch(
                 jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
+            if vis_band > 0.0:
+                # final occluded-lane normalization (see _vis_drop): the
+                # fast/ladder tiles never run a gate, so this is the one
+                # point their below-floor closest becomes the sentinel
+                t_best = _vis_drop(t_best, lo_col)
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
@@ -584,8 +634,7 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
                                jnp.minimum(MAX_FLOAT, tile[:, 7:8]),
                                _MASKED_T_INIT)
             id_init = jnp.full((P, 1), -1, jnp.int32)
-            fold_l = (_vis_fold(fold, tile[:, 7:8] - vis_band)
-                      if vis_band > 0.0 else fold)
+            lo_col = tile[:, 7:8] - vis_band   # vis floor (see _vis_drop)
 
             def _inv(d_):
                 return 1.0 / jnp.where(
@@ -629,34 +678,37 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
                 ).astype(jnp.int32)                        # scalar sync
                 return sids, bits
 
-            def fold_gated(sids, bits, t_best, id_best):
+            def fold_gated(sids, bits, t128, id128):
                 for m, sid in enumerate(sids):
                     def do_fold(tb, ib, sid=sid):
                         cl = cl_ref[sid]            # (16, C), VMEM slice
-                        return fold_l(
+                        return fold(
                             cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
-                    t_best, id_best = jax.lax.cond(
+                    t128, id128 = jax.lax.cond(
                         (bits & (1 << m)) != 0,
                         do_fold,
                         lambda tb, ib: (tb, ib),
-                        t_best, id_best,
+                        t128, id128,
                     )
-                return t_best, id_best
+                return t128, id128
 
             def cond(carry):
-                s, done, t_best, id_best = carry
+                s, done, t128, id128 = carry
                 return jnp.logical_not(done)
 
             def body(carry):
-                s, done, t_best, id_best = carry
-                t_row = jnp.transpose(t_best)              # (1, P)
+                s, done, t128, id128 = carry
+                t_col = jnp.min(t128, axis=1, keepdims=True)
+                if vis_band > 0.0:
+                    t_col = _vis_drop(t_col, lo_col)
+                t_row = jnp.transpose(t_col)               # (1, P)
                 sids, bits = gate_members(s, groups, t_row, with_exit=True)
-                t_best, id_best = fold_gated(sids, bits, t_best, id_best)
+                t128, id128 = fold_gated(sids, bits, t128, id128)
                 nxt = s + groups
                 exhausted = nxt >= cnt
                 no_open = (bits >> (groups * F)) == 0
-                return (nxt, exhausted | no_open, t_best, id_best)
+                return (nxt, exhausted | no_open, t128, id128)
 
             # count ladder: tiles with cnt <= `fast` supers pay exactly one
             # gate sync and their conditional folds — no while loop, no
@@ -665,15 +717,19 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
             # gated work for the median tile.)
             def make_fast(n):
                 def fast_tile(t0, i0):
+                    # the init slabs are all-equal so their min IS t0 —
+                    # gate straight off the (P, 1) init, no reduce needed
                     t_row = jnp.transpose(t0)
                     sids, bits = gate_members(0, n, t_row, with_exit=False)
-                    return fold_gated(sids, bits, t0, i0)
+                    tb, ib = fold_gated(sids, bits, *_slab_init(t0, i0))
+                    return _slab_reduce(tb, ib)
                 return fast_tile
 
             def loop_tile(t0, i0):
-                init = (jnp.int32(0), cnt == 0, t0, i0)
+                t128, id128 = _slab_init(t0, i0)
+                init = (jnp.int32(0), cnt == 0, t128, id128)
                 _, _, tb, ib = jax.lax.while_loop(cond, body, init)
-                return tb, ib
+                return _slab_reduce(tb, ib)
 
             branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
             for n in range(1, fast + 1):
@@ -681,6 +737,8 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
             branches.append(loop_tile)                    # cnt > fast
             t_best, id_best = jax.lax.switch(
                 jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
+            if vis_band > 0.0:
+                t_best = _vis_drop(t_best, lo_col)   # final normalization
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
