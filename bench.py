@@ -138,7 +138,9 @@ def main():
         import dataclasses
 
         bsize = 512
-        bspp = max(2, spp // 4)
+        # window >= 8 samples: min-of-3 over a 4-sample window was too thin
+        # for the tunnel's noisy readback (r3 verdict weak #6)
+        bspp = int(os.environ.get("BENCH_BDPT_SPP", str(max(8, spp // 4))))
         bsb = int(os.environ.get("BENCH_BDPT_SBATCH", "2"))
         # BDPT's batched 2R/4R traces prefer bigger tiles than pt_nee's
         # bounce traces (measured: 20.2 Mrays/s at P=256 vs 16.3 at P=128)

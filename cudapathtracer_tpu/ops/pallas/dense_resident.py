@@ -236,10 +236,13 @@ def _mt_fold_pc(cl, ox, oy, oz, dx, dy, dz, t128, id128, num_tris):
     # No (tid < num_tris) term either: every pad/sentinel triangle is
     # packed with all-zero vertices (make_packet_data zeroes them), so
     # a == 0 and the parallel test rejects it — the id range check was
-    # redundant. t <= 0 folds the old (ts > 0) validity in; NaN t
-    # (parallel lanes' unguarded 1/a) compares False but `parallel`
-    # already covers those.
-    reject = parallel | (b0 < 0.0) | (b1 < 0.0) | (b2 < 0.0) | (t <= 0.0)
+    # redundant. t <= 0 folds the old (ts > 0) validity in.
+    # min(b0,b1,b2) < 0 == (b0<0)|(b1<0)|(b2<0): two fewer VPU ops per
+    # test (3 cmps + 2 ors -> 2 mins + 1 cmp). NaN-safe: parallel lanes'
+    # NaNs propagate through min and compare False — exactly what the
+    # per-term comparisons gave — and `parallel` covers them anyway.
+    reject = parallel | (jnp.minimum(jnp.minimum(b0, b1), b2) < 0.0) \
+        | (t <= 0.0)
     ts = jnp.where(reject, MAX_FLOAT, t)
     return _slab_update(ts, tid, t128, id128)
 
@@ -317,7 +320,8 @@ def _bw_fold_pc(cl, ox, oy, oz, dx, dy, dz, t128, id128, num_tris):
     # Same trimmed validity as _mt_fold_pc: pad/sentinel triangles are
     # all-zero -> n = 0 -> parallel reject covers (tid < num_tris), and
     # (t <= 0.0) folds the old (ts > 0) check into the one select.
-    reject = (parallel | (bu < 0.0) | (bv < 0.0) | (bw < 0.0)
+    # min-of-barycentrics reject: see _mt_fold_pc (2 fewer ops, NaN-safe).
+    reject = (parallel | (jnp.minimum(jnp.minimum(bu, bv), bw) < 0.0)
               | (t <= 0.0))
     ts = jnp.where(reject, MAX_FLOAT, t)
     return _slab_update(ts, tid, t128, id128)
@@ -868,8 +872,10 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     if unroll is None:
         # r3 sweep: u8 == u4 at 20k tris (43.20 vs 43.28 ms/trace) and 4%
         # faster at 328k (81.5 vs 85.1) — fewer while_loop iterations, same
-        # one-sync-per-group cost amortized over more slots.
-        unroll = 2 if M <= 4 else 8
+        # one-sync-per-group cost amortized over more slots. Env knob for
+        # TPU sweeps (trace-time, like PT_KERNEL_FAST).
+        unroll = 2 if M <= 4 else int(os.environ.get("PT_KERNEL_UNROLL",
+                                                     "8"))
     P = rays.shape[2]
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
