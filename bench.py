@@ -145,10 +145,13 @@ def main():
         # BDPT's batched 2R/4R traces prefer bigger tiles than pt_nee's
         # bounce traces (measured: 20.2 Mrays/s at P=256 vs 16.3 at P=128)
         btile = int(os.environ.get("BENCH_BDPT_TILE", "256"))
+        btilev = os.environ.get("BENCH_BDPT_TILE_VIS")
         bcfg = dataclasses.replace(cfg, width=bsize, height=bsize,
                                    integrator="bdpt", spp=bspp,
                                    samples_per_call=bspp, sample_batch=bsb,
-                                   tile_size=btile)
+                                   tile_size=btile,
+                                   tile_size_vis=(int(btilev) if btilev
+                                                  else None))
         bcam = make_camera(pos=(0.0, 2.0, 3.4), width=bsize, height=bsize,
                            focal_length=2.0)
         key = jax.random.PRNGKey(1234)

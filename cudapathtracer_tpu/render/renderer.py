@@ -177,9 +177,15 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
                   else cfg.packet_rounds_bdpt)
 
         def trace_fn(o, d, mask, t_cap=None, vis_band=0.0):
+            # per-call-site tile size: visibility traces (vis_band > 0,
+            # BDPT connections) may prefer a different P than closest-hit
+            # subpath traces (cfg.tile_size_vis; None = shared)
+            ts = (cfg.tile_size_vis
+                  if vis_band > 0.0 and cfg.tile_size_vis is not None
+                  else cfg.tile_size)
             return packets.trace_packets(
                 o, d, pdata, fine_td=td, mask=mask,
-                tile_size=cfg.tile_size, max_clusters=cfg.max_clusters,
+                tile_size=ts, max_clusters=cfg.max_clusters,
                 engine=engine, sort=cfg.packet_sort,
                 rounds=rounds,
                 first_round_slots=cfg.packet_first_round,

@@ -45,6 +45,14 @@ class RenderConfig:
     #                                 fires sooner over fewer lanes. BDPT's
     #                                 batched 2R/4R traces prefer 256 (20.2 vs
     #                                 16.3 Mrays/s) — bench.py sets it there.
+    tile_size_vis: int | None = None  # per-call-site tile size for
+    #                                 VISIBILITY traces (vis_band > 0 —
+    #                                 BDPT's 4R connection batch): its
+    #                                 occluded-lane dropout changes the
+    #                                 early-exit economics vs closest-hit
+    #                                 subpath traces, so the optimum P can
+    #                                 differ per call site. None = use
+    #                                 tile_size for both.
     cluster_size: int | None = None  # triangles per scene cluster; None =
     #                                  adaptive (~T/8192 rounded to 128s —
     #                                  bigger scenes get bigger clusters)

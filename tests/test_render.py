@@ -133,3 +133,21 @@ def test_sample_batch_bit_identical(cornell):
     np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(b.img.y))
     np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(b.img.z))
     assert int(b.n) == 5
+
+
+def test_tile_size_vis_bit_identical(cornell):
+    """cfg.tile_size_vis retiles ONLY the visibility traces (BDPT's 4R
+    connection batch, vis_band > 0). Packet results are grouping-invariant
+    (the U bound + fallback make hits exact under any tiling), so the
+    rendered image must be BIT-identical to the shared-tile-size run."""
+    import dataclasses
+
+    cam = make_camera(width=16, height=16)
+    cfg1 = RenderConfig(width=16, height=16, spp=3, integrator="bdpt",
+                        samples_per_call=3)
+    a = render(cornell, cam, cfg1, seed=7)
+    cfg2 = dataclasses.replace(cfg1, tile_size_vis=64)
+    b = render(cornell, cam, cfg2, seed=7)
+    np.testing.assert_array_equal(np.asarray(a.img.x), np.asarray(b.img.x))
+    np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(b.img.y))
+    np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(b.img.z))
