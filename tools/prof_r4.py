@@ -30,7 +30,7 @@ from cudapathtracer_tpu.ops.traversal import make_trace_data
 
 SIZE = 1024
 R = SIZE * SIZE
-P = 128
+P = int(os.environ.get("PROF_P", "128"))
 
 MODE = {"flat": False, "two": True, "super": "super", "auto": None}
 
