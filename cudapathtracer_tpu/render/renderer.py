@@ -183,6 +183,15 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
             ts = (cfg.tile_size_vis
                   if vis_band > 0.0 and cfg.tile_size_vis is not None
                   else cfg.tile_size)
+            # occluded-lane dropout: decision-identical on or off (the
+            # caller's band test can't distinguish the sentinel from the
+            # true sub-floor hit); measured a small LOSS at bench scale,
+            # so cfg.vis_dropout gates it (t_cap is kept regardless —
+            # that one is a pure win). The tile choice above still keys
+            # on the INCOMING vis_band: the call site stays a visibility
+            # trace even when the dropout is disabled.
+            if not cfg.vis_dropout:
+                vis_band = 0.0
             return packets.trace_packets(
                 o, d, pdata, fine_td=td, mask=mask,
                 tile_size=ts, max_clusters=cfg.max_clusters,

@@ -53,6 +53,16 @@ class RenderConfig:
     #                                 subpath traces, so the optimum P can
     #                                 differ per call site. None = use
     #                                 tile_size for both.
+    vis_dropout: bool = False       # occluded-lane dropout (vis_band) in
+    #                                 the Mosaic kernels for visibility
+    #                                 traces. Decision-identical either way;
+    #                                 measured a ~5% LOSS on the bench BDPT
+    #                                 workload (4R shadow batch 24.6 vs 23.4
+    #                                 ms without — short shortlists, tight
+    #                                 t_caps leave little to retire), so OFF
+    #                                 by default; flip for long-shortlist
+    #                                 scenes where mid-shortlist retirement
+    #                                 can pay (BASELINE.md r4 ledger).
     cluster_size: int | None = None  # triangles per scene cluster; None =
     #                                  adaptive (~T/8192 rounded to 128s —
     #                                  bigger scenes get bigger clusters)

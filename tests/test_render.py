@@ -151,3 +151,10 @@ def test_tile_size_vis_bit_identical(cornell):
     np.testing.assert_array_equal(np.asarray(a.img.x), np.asarray(b.img.x))
     np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(b.img.y))
     np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(b.img.z))
+    # cfg.vis_dropout (occluded-lane dropout, default OFF after the r4
+    # measurement) is decision-identical: radiance must not move either
+    c = render(cornell, cam,
+               dataclasses.replace(cfg1, vis_dropout=True), seed=7)
+    np.testing.assert_array_equal(np.asarray(a.img.x), np.asarray(c.img.x))
+    np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(c.img.y))
+    np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(c.img.z))

@@ -13,7 +13,11 @@ rays cannot drift from production (ADVICE r3: the old script re-implemented
 the integrator's sampling internals and silently diverged on changes).
 
 Honest async-dispatch timing (see prof_r2c.py). Usage:
-  python tools/prof_bdpt.py [subdiv] [tile_size]
+  python tools/prof_bdpt.py [subdiv] [tile_size] [vis_tile ...]
+
+PROF_SIZE overrides the image size (default 1024; the bench BDPT config is
+512^2 x sample_batch=2, so PROF_SIZE=724 ~ the bench ray count). Extra args
+sweep cfg.tile_size_vis for the 4R shadow batch (same prep, fresh trace_fn).
 """
 
 import os
@@ -34,7 +38,7 @@ from cudapathtracer_tpu.integrators import bdpt as bd
 from cudapathtracer_tpu.ops.rng import pixel_keys, sample_key
 from cudapathtracer_tpu.ops.vecmath import Vec3
 
-SIZE = 1024
+SIZE = int(os.environ.get("PROF_SIZE", "1024"))
 R = SIZE * SIZE
 
 
@@ -139,6 +143,19 @@ def main():
     timed("shadow (4R) trace, vis_band=0", shadow_batch_novis, som, sdm, smj)
     print(f"sum check: 2R {hb:.1f} + 4R {sh:.1f} = {hb + sh:.1f} "
           f"vs full {tot:.1f} (rest = integrator math)", flush=True)
+
+    # ---- tile_size_vis sweep: shadow batch under each vis tile -----------
+    import dataclasses
+    for vt in [int(a) for a in sys.argv[3:]]:
+        vcfg = dataclasses.replace(cfg, tile_size_vis=vt)
+        vtrace, _ = rd.make_trace_fn(scene, vcfg, bvh, prep=prep)
+
+        @jax.jit
+        def shadow_vt(o_, d_, m_, _vt=vtrace):
+            return _vt(o_, d_, m_, **sckw)
+
+        timed(f"shadow (4R) trace, tile_size_vis={vt}", shadow_vt,
+              som, sdm, smj)
 
 
 if __name__ == "__main__":
