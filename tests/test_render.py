@@ -152,9 +152,15 @@ def test_tile_size_vis_bit_identical(cornell):
     np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(b.img.y))
     np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(b.img.z))
     # cfg.vis_dropout (occluded-lane dropout, default OFF after the r4
-    # measurement) is decision-identical: radiance must not move either
+    # measurement) is decision-identical: radiance must not move either.
+    # On CPU _resolve_engine picks 'xla', which ignores vis_band — force
+    # the Mosaic kernel via interpret mode so the dropout actually runs
+    # in the render path (ADVICE r4); kernel-level decision parity lives
+    # in test_packets.py::test_vis_band_decision_parity*.
     c = render(cornell, cam,
-               dataclasses.replace(cfg1, vis_dropout=True), seed=7)
+               dataclasses.replace(cfg1, vis_dropout=True,
+                                   packet_engine="pallas_interpret"),
+               seed=7)
     np.testing.assert_array_equal(np.asarray(a.img.x), np.asarray(c.img.x))
     np.testing.assert_array_equal(np.asarray(a.img.y), np.asarray(c.img.y))
     np.testing.assert_array_equal(np.asarray(a.img.z), np.asarray(c.img.z))

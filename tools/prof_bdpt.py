@@ -130,22 +130,29 @@ def main():
     def shadow_batch(o_, d_, m_):
         return trace_fn(o_, d_, m_, **sckw)
 
-    sh = timed("shadow (4R) batch trace", shadow_batch, som, sdm, smj)
+    sh = timed("shadow (4R) batch trace (vis_dropout off)", shadow_batch,
+               som, sdm, smj)
 
-    # vis_band ablation: same batch without the occluded-lane dropout
-    nokw = dict(sckw)
-    nokw["vis_band"] = 0.0
+    # vis_dropout ablation: cfg.vis_dropout gates the occluded-lane dropout
+    # INSIDE trace_fn (it zeroes vis_band when off), so the ON leg needs a
+    # fresh trace_fn from a vis_dropout=True config — passing vis_band
+    # through kwargs alone would measure the identical program twice
+    # (ADVICE r4).
+    import dataclasses
+
+    on_cfg = dataclasses.replace(cfg, vis_dropout=True)
+    trace_on, _ = rd.make_trace_fn(scene, on_cfg, bvh, prep=prep)
 
     @jax.jit
-    def shadow_batch_novis(o_, d_, m_):
-        return trace_fn(o_, d_, m_, **nokw)
+    def shadow_batch_vis(o_, d_, m_):
+        return trace_on(o_, d_, m_, **sckw)
 
-    timed("shadow (4R) trace, vis_band=0", shadow_batch_novis, som, sdm, smj)
+    timed("shadow (4R) trace, vis_dropout=True", shadow_batch_vis,
+          som, sdm, smj)
     print(f"sum check: 2R {hb:.1f} + 4R {sh:.1f} = {hb + sh:.1f} "
           f"vs full {tot:.1f} (rest = integrator math)", flush=True)
 
     # ---- tile_size_vis sweep: shadow batch under each vis tile -----------
-    import dataclasses
     for vt in [int(a) for a in sys.argv[3:]]:
         vcfg = dataclasses.replace(cfg, tile_size_vis=vt)
         vtrace, _ = rd.make_trace_fn(scene, vcfg, bvh, prep=prep)
