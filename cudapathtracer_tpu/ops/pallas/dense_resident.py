@@ -379,13 +379,29 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 # rounds unroll 4 (measured: unroll 4 on a budget-2 round cost +50%).
 
 
-def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
+def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
+                 warm=0):
+    """``ray_groups`` (round 5): gate and fold the tile's rays in NS
+    independent SUBGROUPS of P/NS consecutive (sorted) rays. Today's
+    any-lane OR means ONE passing ray drags all P through the (P, C)
+    fold; with subgroups, each (P/NS, C) sub-fold runs only when one of
+    ITS rays passes the box gate. Total VPU issue count of a full fold is
+    unchanged (NS folds of P/NS rays = same vregs), so skipped subgroups
+    are pure savings; the costs are NS x the lax.cond branches per slot
+    and NS x the gate bitmask rows. Gate bits: unroll*NS member bits + 1
+    exit bit must stay f32-exact (< 2^24). NS=1 reproduces the round-4
+    kernel exactly."""
     fold = fold or _mt_fold_pc
+    NS = int(ray_groups)
+    assert unroll * NS + 1 <= 24, (unroll, NS)
+
     def _kernel(meta_ref, boxes_ref, rays_ref, cl_ref, slid_hbm, slent_hbm,
                 out_ref, slid, slent, sl_sem):
         i = pl.program_id(0)
         num_tris = meta_ref[0]
         P = rays_ref.shape[2]
+        Ps = P // NS
+        assert P % (NS * 8) == 0, (P, NS)  # sublane-aligned subgroups
         G = _TILE_GROUP
         W = slid.shape[1]
 
@@ -427,13 +443,23 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             # conservative-exact (see _vis_drop).
             lo_col = tile[:, 7:8] - vis_band
 
+            def sub(col, j):
+                # subgroup j's (Ps, 1) sublane slice of a (P, 1) column
+                return col if NS == 1 else col[j * Ps:(j + 1) * Ps]
+
+            if NS > 1:
+                # (1, P) lane masks selecting each subgroup's rays in the
+                # gate ROW layout (constant; folded at compile time)
+                lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                sg_masks = [lane_ids // Ps == j for j in range(NS)]
+
             def cond(carry):
-                s, done, t128, id128 = carry
+                s, done, slabs = carry
                 return jnp.logical_not(done)
 
             def make_body(unroll, oxr, oyr, ozr, idxr, idyr, idzr):
                 def body(carry):
-                    s, done, t128, id128 = carry
+                    s, done, slabs = carry
                     # Phase 1 — gate ALL unroll slots against the group-start
                     # t_best (it only shrinks, so this is conservative) and
                     # pack the per-slot any-live-lane verdicts into ONE
@@ -458,8 +484,14 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                     #
                     # The per-ray running best is DEFERRED across slab
                     # columns (see _slab_update): one cross-lane min per
-                    # group recovers it for the gate/exit row.
-                    t_col = jnp.min(t128, axis=1, keepdims=True)
+                    # group recovers it for the gate/exit row. With
+                    # ray_groups > 1 the running slabs live per SUBGROUP;
+                    # their (Ps, 1) mins concat (sublane-aligned) into the
+                    # full (P, 1) column for the row-layout gate.
+                    t_cols = [jnp.min(t128, axis=1, keepdims=True)
+                              for (t128, _) in slabs]
+                    t_col = (jnp.concatenate(t_cols, axis=0)
+                             if NS > 1 else t_cols[0])
                     if vis_band > 0.0:
                         t_col = _vis_drop(t_col, lo_col)
                     t_row = jnp.transpose(t_col)           # (1, P)
@@ -475,39 +507,52 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                             for j in range(6))  # 16 boxes per SMEM row
                         hit = _box_hit_row(
                             box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
-                        wts.append(jnp.where(
-                            hit & ok_u, jnp.float32(1 << u), 0.0))
+                        if NS == 1:
+                            wts.append(jnp.where(
+                                hit & ok_u, jnp.float32(1 << u), 0.0))
+                        else:
+                            hm = hit & ok_u
+                            for j in range(NS):
+                                wts.append(jnp.where(
+                                    hm & sg_masks[j],
+                                    jnp.float32(1 << (u * NS + j)), 0.0))
                     # >= (non-strict): a best hit EQUAL to the next entry
                     # must keep searching (lower-index tie-break contract)
                     entry_s0 = slent[g, jnp.minimum(s, W - 1)]
                     wts.append(jnp.where(t_row >= entry_s0,
-                                         jnp.float32(1 << unroll), 0.0))
-                    wt = jnp.concatenate(wts, axis=0)    # (unroll+1, P) f32
+                                         jnp.float32(1 << (unroll * NS)),
+                                         0.0))
+                    wt = jnp.concatenate(wts, axis=0)  # (unroll*NS+1, P)
                     bits = jnp.sum(
                         jnp.max(wt, axis=1, keepdims=True)
                     ).astype(jnp.int32)                    # scalar sync
 
-                    # Phase 2 — fold only the slots whose bit survived; the
-                    # (16, C) VMEM slice happens INSIDE the branch, so a
-                    # gated-out slot reads nothing.
+                    # Phase 2 — fold only the (slot, subgroup) pairs whose
+                    # bit survived; the (16, C) VMEM slice happens INSIDE
+                    # the branch, so a gated-out slot reads nothing.
+                    new_slabs = list(slabs)
                     for u in range(unroll):
                         sid = sids[u]
+                        for j in range(NS):
+                            tj, ij = new_slabs[j]
 
-                        def do_fold(tb, ib, sid=sid):
-                            cl = cl_ref[sid]           # (16, C), VMEM slice
-                            return fold(
-                                cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
+                            def do_fold(tb, ib, sid=sid, j=j):
+                                cl = cl_ref[sid]   # (16, C), VMEM slice
+                                return fold(
+                                    cl, sub(ox, j), sub(oy, j), sub(oz, j),
+                                    sub(dx, j), sub(dy, j), sub(dz, j),
+                                    tb, ib, num_tris)
 
-                        t128, id128 = jax.lax.cond(
-                            (bits & (1 << u)) != 0,
-                            do_fold,
-                            lambda tb, ib: (tb, ib),
-                            t128, id128,
-                        )
+                            new_slabs[j] = jax.lax.cond(
+                                (bits & (1 << (u * NS + j))) != 0,
+                                do_fold,
+                                lambda tb, ib: (tb, ib),
+                                tj, ij,
+                            )
                     nxt = s + unroll
                     exhausted = nxt >= cnt
-                    no_open = (bits >> unroll) == 0
-                    return (nxt, exhausted | no_open, t128, id128)
+                    no_open = (bits >> (unroll * NS)) == 0
+                    return (nxt, exhausted | no_open, tuple(new_slabs))
                 return body
 
             # COUNT LADDER (r3): half the entry-sorted tiles carry <= 1
@@ -524,13 +569,23 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
             # vector->scalar sync paid by EVERY tile.
             def make_fast(n):
                 def fast_tile(t0, i0):
-                    tb, ib = _slab_init(t0, i0)
+                    # NS > 1 folds per subgroup slab — same total vregs as
+                    # one full-P fold (work is identical, just split), so
+                    # the ungated fast path costs the same at any NS
+                    tbs = [_slab_init(sub(t0, j), sub(i0, j))
+                           for j in range(NS)]
                     for u in range(n):
                         sid = slid[g, jnp.minimum(1 + u, W - 1)]
                         cl = cl_ref[sid]       # (16, C), VMEM slice
-                        tb, ib = fold(
-                            cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
-                    return _slab_reduce(tb, ib)
+                        tbs = [fold(cl, sub(ox, j), sub(oy, j), sub(oz, j),
+                                    sub(dx, j), sub(dy, j), sub(dz, j),
+                                    tb, ib, num_tris)
+                               for j, (tb, ib) in enumerate(tbs)]
+                    outs = [_slab_reduce(tb, ib) for (tb, ib) in tbs]
+                    if NS == 1:
+                        return outs[0]
+                    return (jnp.concatenate([o[0] for o in outs], axis=0),
+                            jnp.concatenate([o[1] for o in outs], axis=0))
                 return fast_tile
 
             def loop_tile(t0, i0):
@@ -547,10 +602,37 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
                 body = make_body(unroll, row[0:1, :], row[1:2, :],
                                  row[2:3, :], _inv(row[3:4, :]),
                                  _inv(row[4:5, :]), _inv(row[5:6, :]))
-                t128, id128 = _slab_init(t0, i0)
-                init = (jnp.int32(0), cnt == 0, t128, id128)
-                _, _, tb, ib = jax.lax.while_loop(cond, body, init)
-                return _slab_reduce(tb, ib)
+                slabs0 = tuple(_slab_init(sub(t0, j), sub(i0, j))
+                               for j in range(NS))
+                # WARM START (round 5, measured): the while body gates a
+                # whole unroll group against the t at GROUP start — for
+                # the FIRST group that is the init cap (scene exit), which
+                # passes nearly everything: the kernel folded ~2-3x the
+                # slots a fresh-t gate model predicts (tools/
+                # prof_gategrain.py vs the measured fold budget). Folding
+                # the first `warm` entry-sorted slots UNGATED (they are
+                # the nearest candidates — p50 of the per-tile shortlist
+                # is 1 and most rays resolve within the first couple) and
+                # entering the loop at s=warm gives every gated group a
+                # hit-informed t. Exactness: ungated folds are always
+                # sound (a fold can only improve a lane's best), and the
+                # loop-path guarantee cnt > fast >= warm means the warm
+                # slots all exist.
+                for u in range(min(warm, fast)):
+                    sid = slid[g, jnp.minimum(1 + u, W - 1)]
+                    cl = cl_ref[sid]
+                    slabs0 = tuple(
+                        fold(cl, sub(ox, j), sub(oy, j), sub(oz, j),
+                             sub(dx, j), sub(dy, j), sub(dz, j),
+                             tb, ib, num_tris)
+                        for j, (tb, ib) in enumerate(slabs0))
+                init = (jnp.int32(min(warm, fast)), cnt == 0, slabs0)
+                _, _, slabs = jax.lax.while_loop(cond, body, init)
+                outs = [_slab_reduce(tb, ib) for (tb, ib) in slabs]
+                if NS == 1:
+                    return outs[0]
+                return (jnp.concatenate([o[0] for o in outs], axis=0),
+                        jnp.concatenate([o[1] for o in outs], axis=0))
 
             branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
             for n in range(1, fast + 1):
@@ -842,12 +924,14 @@ def dense_intersect_resident_super(ids, counts, entries, rays, cl_packed,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
-                                    "vis_band"))
+                                    "vis_band", "ray_groups", "warm_start"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
                              unroll: int | None = None, bw: bool = False,
                              fast: int | None = None,
-                             vis_band: float = 0.0):
+                             vis_band: float = 0.0,
+                             ray_groups: int | None = None,
+                             warm_start: int | None = None):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -876,7 +960,15 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
         # TPU sweeps (trace-time, like PT_KERNEL_FAST).
         unroll = 2 if M <= 4 else int(os.environ.get("PT_KERNEL_UNROLL",
                                                      "8"))
+    if ray_groups is None:
+        ray_groups = int(os.environ.get("PT_KERNEL_RAYGROUPS", "1"))
+    if warm_start is None:
+        warm_start = int(os.environ.get("PT_KERNEL_WARM", "0"))
     P = rays.shape[2]
+    # subgroups need sublane-aligned (P/NS) slices and f32-exact gate bits
+    while ray_groups > 1 and P % (ray_groups * 8) != 0:
+        ray_groups //= 2
+    unroll = max(1, min(unroll, 23 // ray_groups))
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
     K = cl_packed.shape[0] - 1
@@ -924,7 +1016,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     vmem_limit = min(_VMEM_CEILING, blk + _VMEM_HEADROOM)
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast,
-                     vis_band=float(vis_band)),
+                     vis_band=float(vis_band), ray_groups=ray_groups,
+                     warm=warm_start),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
