@@ -73,6 +73,10 @@ def main():
                 os.environ.get("BENCH_TWO_LEVEL", "auto")],
             super_factor=int(os.environ.get("BENCH_SUPERF", "8")),
             super_list=int(os.environ.get("BENCH_SUPERLIST", "255")),
+            warm_start=(int(os.environ["BENCH_WARM"])
+                        if "BENCH_WARM" in os.environ else None),
+            ray_groups=(int(os.environ["BENCH_RAYGROUPS"])
+                        if "BENCH_RAYGROUPS" in os.environ else None),
             reuse_primary_hit=True)  # pinhole camera, no jitter
         t0 = time.time()
         bvh = build_bvh_for_scene(scene, cfg.leaf_size,

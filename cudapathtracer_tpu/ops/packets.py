@@ -245,6 +245,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                   super_list: int = 255,
                   t_cap=None, intersector: str = "bw",
                   resident_pack=None, vis_band: float = 0.0,
+                  warm_start: int | None = None,
+                  ray_groups: int | None = None,
                   _need_out: bool = False):
     """Closest-hit for R rays via tile-packet traversal.
 
@@ -302,6 +304,13 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
     all engines and the fallback run the selected one so results stay
     engine-independent.
 
+    ``warm_start`` / ``ray_groups``: Mosaic-kernel tuning (see
+    ops/pallas/dense_resident.py — warm-start ungated fold of the first N
+    entry-sorted slots; per-ray-subgroup gating). None = env defaults
+    (PT_KERNEL_WARM / PT_KERNEL_RAYGROUPS). Bit-identical results at any
+    setting (ungated folds are always sound; subgroup gates are the same
+    conservative per-ray box test).
+
     ``resident_pack``: optional precomputed (packed, boxes) pair from
     ``make_resident_pack(pd, intersector)``. The Mosaic kernels' scene
     layout is a pure function of ``pd`` (~6 ms/dispatch at 20k tris,
@@ -346,6 +355,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 super_list=super_list,
                 t_cap=t_cap, intersector=intersector,
                 resident_pack=resident_pack, vis_band=vis_band,
+                warm_start=warm_start, ray_groups=ray_groups,
                 _need_out=True,
             )
             done = m_cur & jnp.logical_not(need)
@@ -361,6 +371,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             super_list=super_list,
             t_cap=t_cap, intersector=intersector,
             resident_pack=resident_pack, vis_band=vis_band,
+            warm_start=warm_start, ray_groups=ray_groups,
         )
         return Hit(
             tri=jnp.where(m_cur, hf.tri, acc_tri),
@@ -456,7 +467,8 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
             super_list=super_list,
             t_cap=scap,
             intersector=intersector, resident_pack=resident_pack,
-            vis_band=vis_band, _need_out=_need_out,
+            vis_band=vis_band, warm_start=warm_start,
+            ray_groups=ray_groups, _need_out=_need_out,
         )
         hit, need = out if _need_out else (out, None)
         # un-sort: one more payload sort keyed on the carried original lane
@@ -755,6 +767,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 ids, counts, entries, rays, packed,
                 boxes, pd.num_tris, interpret=interpret,
                 bw=bw, vis_band=float(vis_band),
+                warm_start=warm_start, ray_groups=ray_groups,
             )
         else:
             from .pallas.dense import dense_intersect
@@ -763,6 +776,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 ids, counts, entries, rays, packed,
                 boxes, pd.num_tris, interpret=interpret,
                 bw=bw, vis_band=float(vis_band),
+                warm_start=warm_start,
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
                        t_cap=t_cap, intersector=intersector,

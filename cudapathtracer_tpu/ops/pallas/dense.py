@@ -72,7 +72,7 @@ __all__ = [
 ]
 
 
-def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
+def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
     fold = fold or _mt_fold_pc
     assert unroll <= _NBUF
     assert fast <= _NBUF
@@ -241,7 +241,27 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
 
             def loop_tile(t0, i0):
                 t128, id128 = _slab_init(t0, i0)
-                init = (jnp.int32(0), cnt == 0, t128, id128)
+                # WARM START (round 5, see dense_resident.py): fold the
+                # first `warm` entry-sorted slots ungated so the loop's
+                # gated groups see a hit-informed t instead of the init
+                # cap (the first group's gates otherwise pass nearly
+                # everything). Fetch pattern mirrors make_fast; all warm
+                # DMAs complete before the loop, so no ring hazard.
+                wN = min(warm, fast)
+                if wN > 0:
+                    wsids = [slid[g, jnp.minimum(1 + u, W - 1)]
+                             for u in range(wN)]
+                    for u in range(wN):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[wsids[u]], buf.at[u], sem.at[u]
+                        ).start()
+                    for u in range(wN):
+                        pltpu.make_async_copy(
+                            cl_hbm.at[wsids[u]], buf.at[u], sem.at[u]
+                        ).wait()
+                        t128, id128 = fold(buf[u], ox, oy, oz, dx, dy, dz,
+                                           t128, id128, num_tris)
+                init = (jnp.int32(wN), cnt == 0, t128, id128)
                 _, _, tb, ib = jax.lax.while_loop(cond, body, init)
                 return _slab_reduce(tb, ib)
 
@@ -267,11 +287,11 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
-                                    "vis_band"))
+                                    "vis_band", "warm_start"))
 def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
                     interpret: bool = False, unroll: int = _NBUF,
                     bw: bool = False, fast: int | None = None,
-                    vis_band: float = 0.0):
+                    vis_band: float = 0.0, warm_start: int | None = None):
     """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
@@ -291,6 +311,8 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
         # count-ladder width, same knob as the resident kernel (capped at
         # the ring depth: a fast branch's fetches must all be in flight)
         fast = min(_NBUF, int(os.environ.get("PT_KERNEL_FAST", "4")))
+    if warm_start is None:
+        warm_start = int(os.environ.get("PT_KERNEL_WARM", "0"))
     P = rays.shape[2]
     C = cl_packed.shape[2]
     G = _TILE_GROUP
@@ -338,7 +360,7 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
     )
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc,
-                     fast=fast, vis_band=float(vis_band)),
+                     fast=fast, vis_band=float(vis_band), warm=warm_start),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,

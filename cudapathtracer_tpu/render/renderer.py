@@ -207,6 +207,8 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
                 intersector=cfg.intersector,
                 resident_pack=rpack,
                 vis_band=vis_band,
+                warm_start=cfg.warm_start,
+                ray_groups=cfg.ray_groups,
             )
 
         return with_spheres(trace_fn), td

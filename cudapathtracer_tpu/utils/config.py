@@ -112,6 +112,20 @@ class RenderConfig:
     #                                 bit-identical under any grouping
     #                                 (ops/packets.py). Must be a multiple
     #                                 of tile_size.
+    warm_start: int | None = None   # Mosaic kernels: fold the first N
+    #                                 entry-sorted slots UNGATED before the
+    #                                 gated while loop, so every gate group
+    #                                 sees a hit-informed running t instead
+    #                                 of the init cap (the first group's
+    #                                 gates otherwise pass nearly everything
+    #                                 — measured 2-3x the fold budget a
+    #                                 fresh-t model predicts). None = env
+    #                                 PT_KERNEL_WARM (default 0).
+    ray_groups: int | None = None   # Mosaic kernels: gate/fold rays in NS
+    #                                 independent subgroups of P/NS rays
+    #                                 (one passing ray no longer drags all
+    #                                 P through the fold). None = env
+    #                                 PT_KERNEL_RAYGROUPS (default 1).
     intersector: str = "bw"         # triangle test: 'bw' (Baldwin-Weber
     #                                 precomputed form — decision-equivalent
     #                                 to the reference's Moller-Trumbore in

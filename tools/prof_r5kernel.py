@@ -182,10 +182,14 @@ def main():
                   fast=1),
               ids, counts, entries, rays)
     # round-5 sweep: ray-subgroup gating x warm start
-    # (unroll*NS+1 <= 24 gate bits)
+    # (unroll*NS+1 <= 24 gate bits); PT_SWEEP="ns,u,w;ns,u,w;..." overrides
+    sweep = ((1, 8, 0), (2, 8, 0), (1, 8, 1), (1, 8, 2), (1, 8, 4),
+             (2, 8, 2), (4, 5, 2), (2, 11, 2), (1, 4, 2))
+    if os.environ.get("PT_SWEEP"):
+        sweep = tuple(tuple(int(x) for x in grp.split(","))
+                      for grp in os.environ["PT_SWEEP"].split(";"))
     ref_t = ref_tri = None
-    for ns, u, w in ((1, 8, 0), (2, 8, 0), (1, 8, 1), (1, 8, 2), (1, 8, 4),
-                     (2, 8, 2), (4, 5, 2), (2, 11, 2), (1, 4, 2)):
+    for ns, u, w in sweep:
         fn = jax.jit(lambda i_, c_, e_, r_, ns=ns, u=u, w=w:
                      dr.dense_intersect_resident(
                          i_, c_, e_, r_, packed, boxes, pdata.num_tris,
