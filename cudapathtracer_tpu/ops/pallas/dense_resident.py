@@ -380,7 +380,7 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 
 
 def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
-                 warm=0):
+                 warm=0, debug_folds=False):
     """``ray_groups`` (round 5): gate and fold the tile's rays in NS
     independent SUBGROUPS of P/NS consecutive (sorted) rays. Today's
     any-lane OR means ONE passing ray drags all P through the (P, C)
@@ -454,12 +454,14 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
                 sg_masks = [lane_ids // Ps == j for j in range(NS)]
 
             def cond(carry):
-                s, done, slabs = carry
-                return jnp.logical_not(done)
+                return jnp.logical_not(carry[1])
 
             def make_body(unroll, oxr, oyr, ozr, idxr, idyr, idzr):
                 def body(carry):
-                    s, done, slabs = carry
+                    if debug_folds:
+                        s, done, slabs, nf = carry
+                    else:
+                        s, done, slabs = carry
                     # Phase 1 — gate ALL unroll slots against the group-start
                     # t_best (it only shrinks, so this is conservative) and
                     # pack the per-slot any-live-lane verdicts into ONE
@@ -552,6 +554,13 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
                     nxt = s + unroll
                     exhausted = nxt >= cnt
                     no_open = (bits >> (unroll * NS)) == 0
+                    if debug_folds:
+                        dnf = jnp.int32(0)
+                        for b in range(unroll * NS):
+                            dnf = dnf + ((bits >> b) & 1)
+                        nf = nf + dnf
+                        return (nxt, exhausted | no_open, tuple(new_slabs),
+                                nf)
                     return (nxt, exhausted | no_open, tuple(new_slabs))
                 return body
 
@@ -582,10 +591,13 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
                                     tb, ib, num_tris)
                                for j, (tb, ib) in enumerate(tbs)]
                     outs = [_slab_reduce(tb, ib) for (tb, ib) in tbs]
-                    if NS == 1:
-                        return outs[0]
-                    return (jnp.concatenate([o[0] for o in outs], axis=0),
-                            jnp.concatenate([o[1] for o in outs], axis=0))
+                    t_b = (outs[0][0] if NS == 1 else
+                           jnp.concatenate([o[0] for o in outs], axis=0))
+                    i_b = (outs[0][1] if NS == 1 else
+                           jnp.concatenate([o[1] for o in outs], axis=0))
+                    if debug_folds:
+                        return t_b, i_b, jnp.int32(n * NS)
+                    return t_b, i_b
                 return fast_tile
 
             def loop_tile(t0, i0):
@@ -626,25 +638,41 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
                              sub(dx, j), sub(dy, j), sub(dz, j),
                              tb, ib, num_tris)
                         for j, (tb, ib) in enumerate(slabs0))
-                init = (jnp.int32(min(warm, fast)), cnt == 0, slabs0)
-                _, _, slabs = jax.lax.while_loop(cond, body, init)
+                if debug_folds:
+                    init = (jnp.int32(min(warm, fast)), cnt == 0, slabs0,
+                            jnp.int32(min(warm, fast) * NS))
+                    _, _, slabs, nf = jax.lax.while_loop(cond, body, init)
+                else:
+                    init = (jnp.int32(min(warm, fast)), cnt == 0, slabs0)
+                    _, _, slabs = jax.lax.while_loop(cond, body, init)
                 outs = [_slab_reduce(tb, ib) for (tb, ib) in slabs]
-                if NS == 1:
-                    return outs[0]
-                return (jnp.concatenate([o[0] for o in outs], axis=0),
-                        jnp.concatenate([o[1] for o in outs], axis=0))
+                t_b = (outs[0][0] if NS == 1 else
+                       jnp.concatenate([o[0] for o in outs], axis=0))
+                i_b = (outs[0][1] if NS == 1 else
+                       jnp.concatenate([o[1] for o in outs], axis=0))
+                if debug_folds:
+                    return t_b, i_b, nf
+                return t_b, i_b
 
-            branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
+            if debug_folds:
+                branches = [lambda t0, i0: (t0, i0, jnp.int32(0))]
+            else:
+                branches = [lambda t0, i0: (t0, i0)]      # cnt == 0
             for n in range(1, fast + 1):
                 branches.append(make_fast(n))
             branches.append(loop_tile)                    # cnt > fast
-            t_best, id_best = jax.lax.switch(
+            sw = jax.lax.switch(
                 jnp.minimum(cnt, fast + 1), branches, t_init, id_init)
+            t_best, id_best = sw[0], sw[1]
             if vis_band > 0.0:
                 # final occluded-lane normalization (see _vis_drop): the
                 # fast/ladder tiles never run a gate, so this is the one
                 # point their below-floor closest becomes the sentinel
                 t_best = _vis_drop(t_best, lo_col)
+            if debug_folds:
+                # debug: report SUB-fold count (units of one (P/NS, C)
+                # fold) in place of t — outputs are for instrumentation
+                t_best = jnp.full_like(t_best, sw[2].astype(jnp.float32))
 
             out = jnp.concatenate(
                 [t_best, id_best.astype(jnp.float32) + _ID_OFFSET], axis=1
@@ -924,14 +952,16 @@ def dense_intersect_resident_super(ids, counts, entries, rays, cl_packed,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
-                                    "vis_band", "ray_groups", "warm_start"))
+                                    "vis_band", "ray_groups", "warm_start",
+                                    "debug_folds"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
                              unroll: int | None = None, bw: bool = False,
                              fast: int | None = None,
                              vis_band: float = 0.0,
                              ray_groups: int | None = None,
-                             warm_start: int | None = None):
+                             warm_start: int | None = None,
+                             debug_folds: bool = False):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -1017,7 +1047,7 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast,
                      vis_band=float(vis_band), ray_groups=ray_groups,
-                     warm=warm_start),
+                     warm=warm_start, debug_folds=debug_folds),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),

@@ -188,6 +188,20 @@ def main():
     if os.environ.get("PT_SWEEP"):
         sweep = tuple(tuple(int(x) for x in grp.split(","))
                       for grp in os.environ["PT_SWEEP"].split(";"))
+    if mode == "folds":
+        # ground truth: ACTUAL sub-fold counts executed per config
+        # (debug_folds kernels report the per-tile count in the t row)
+        for ns, u, w in sweep:
+            t_, _ = dr.dense_intersect_resident(
+                ids, counts, entries, rays, packed, boxes, pdata.num_tris,
+                bw=True, unroll=u, ray_groups=ns, warm_start=w,
+                debug_folds=True)
+            fc = np.asarray(t_)[:, 0]
+            print(f"NS={ns} u={u} warm={w}: subfolds sum={fc.sum():.0f} "
+                  f"full-fold equiv={fc.sum() / ns:.0f} "
+                  f"mean/tile={fc.mean() / ns:.2f}", flush=True)
+        return
+
     ref_t = ref_tri = None
     for ns, u, w in sweep:
         fn = jax.jit(lambda i_, c_, e_, r_, ns=ns, u=u, w=w:
