@@ -380,7 +380,7 @@ def _box_hit_row(box6, oxr, oyr, ozr, idx, idy, idz, t_row):
 
 
 def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
-                 warm=0, debug_folds=False):
+                 warm=0, debug_folds=False, fold_loop=False):
     """``ray_groups`` (round 5): gate and fold the tile's rays in NS
     independent SUBGROUPS of P/NS consecutive (sorted) rays. Today's
     any-lane OR means ONE passing ray drags all P through the (P, C)
@@ -532,25 +532,57 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, ray_groups=1,
                     # Phase 2 — fold only the (slot, subgroup) pairs whose
                     # bit survived; the (16, C) VMEM slice happens INSIDE
                     # the branch, so a gated-out slot reads nothing.
-                    new_slabs = list(slabs)
-                    for u in range(unroll):
-                        sid = sids[u]
-                        for j in range(NS):
-                            tj, ij = new_slabs[j]
+                    if fold_loop:
+                        # LOOPED fold (round 5): one fold body iterated by
+                        # a fori_loop with a dynamic bit test, instead of
+                        # `unroll` inlined fold bodies. Mosaic degrades
+                        # nonlinearly with while-body code mass at large C
+                        # (u23 inlined measured 173 ms vs u8's 65 at 328k)
+                        # — the loop keeps the body one fold wide at any
+                        # unroll, trading scalar loop overhead per slot.
+                        def p2_body(u, slabs_):
+                            sid = slid[g, jnp.minimum(1 + s + u, W - 1)]
+                            out = []
+                            for j in range(NS):
+                                tj, ij = slabs_[j]
 
-                            def do_fold(tb, ib, sid=sid, j=j):
-                                cl = cl_ref[sid]   # (16, C), VMEM slice
-                                return fold(
-                                    cl, sub(ox, j), sub(oy, j), sub(oz, j),
-                                    sub(dx, j), sub(dy, j), sub(dz, j),
-                                    tb, ib, num_tris)
+                                def do_fold(tb, ib, j=j, sid=sid):
+                                    cl = cl_ref[sid]
+                                    return fold(
+                                        cl, sub(ox, j), sub(oy, j),
+                                        sub(oz, j), sub(dx, j), sub(dy, j),
+                                        sub(dz, j), tb, ib, num_tris)
 
-                            new_slabs[j] = jax.lax.cond(
-                                (bits & (1 << (u * NS + j))) != 0,
-                                do_fold,
-                                lambda tb, ib: (tb, ib),
-                                tj, ij,
-                            )
+                                out.append(jax.lax.cond(
+                                    ((bits >> (u * NS + j)) & 1) != 0,
+                                    do_fold,
+                                    lambda tb, ib: (tb, ib),
+                                    tj, ij,
+                                ))
+                            return tuple(out)
+
+                        new_slabs = list(jax.lax.fori_loop(
+                            0, unroll, p2_body, tuple(slabs)))
+                    else:
+                        new_slabs = list(slabs)
+                        for u in range(unroll):
+                            sid = sids[u]
+                            for j in range(NS):
+                                tj, ij = new_slabs[j]
+
+                                def do_fold(tb, ib, sid=sid, j=j):
+                                    cl = cl_ref[sid]  # (16, C) VMEM slice
+                                    return fold(
+                                        cl, sub(ox, j), sub(oy, j),
+                                        sub(oz, j), sub(dx, j), sub(dy, j),
+                                        sub(dz, j), tb, ib, num_tris)
+
+                                new_slabs[j] = jax.lax.cond(
+                                    (bits & (1 << (u * NS + j))) != 0,
+                                    do_fold,
+                                    lambda tb, ib: (tb, ib),
+                                    tj, ij,
+                                )
                     nxt = s + unroll
                     exhausted = nxt >= cnt
                     no_open = (bits >> (unroll * NS)) == 0
@@ -953,7 +985,7 @@ def dense_intersect_resident_super(ids, counts, entries, rays, cl_packed,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
                                     "vis_band", "ray_groups", "warm_start",
-                                    "debug_folds"))
+                                    "debug_folds", "fold_loop"))
 def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              num_tris, interpret: bool = False,
                              unroll: int | None = None, bw: bool = False,
@@ -961,7 +993,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
                              vis_band: float = 0.0,
                              ray_groups: int | None = None,
                              warm_start: int | None = None,
-                             debug_folds: bool = False):
+                             debug_folds: bool = False,
+                             fold_loop: bool | None = None):
     """VMEM-resident dense intersection.
 
     ids/counts/entries: as in dense.dense_intersect.
@@ -983,22 +1016,38 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
         # the ladder (the bulk of that is the retired per-tile all-dead
         # sync + the fold trims; the ladder width itself is marginal).
         fast = int(os.environ.get("PT_KERNEL_FAST", "4"))
-    if unroll is None:
-        # r3 sweep: u8 == u4 at 20k tris (43.20 vs 43.28 ms/trace) and 4%
-        # faster at 328k (81.5 vs 85.1) — fewer while_loop iterations, same
-        # one-sync-per-group cost amortized over more slots. Env knob for
-        # TPU sweeps (trace-time, like PT_KERNEL_FAST).
-        unroll = 2 if M <= 4 else int(os.environ.get("PT_KERNEL_UNROLL",
-                                                     "8"))
-    if ray_groups is None:
-        ray_groups = int(os.environ.get("PT_KERNEL_RAYGROUPS", "1"))
-    if warm_start is None:
-        warm_start = int(os.environ.get("PT_KERNEL_WARM", "0"))
     P = rays.shape[2]
+    C = cl_packed.shape[2]
+    if ray_groups is None:
+        # round-5 default: gate/fold rays in 2 subgroups of P/2 — measured
+        # -10/-16% kernel time at 328k/20k tris vs NS=1 (one passing ray
+        # no longer drags the whole tile through the fold); NS=4 measured
+        # slightly worse at both scales (branch overhead).
+        ray_groups = int(os.environ.get("PT_KERNEL_RAYGROUPS", "2"))
     # subgroups need sublane-aligned (P/NS) slices and f32-exact gate bits
     while ray_groups > 1 and P % (ray_groups * 8) != 0:
         ray_groups //= 2
+    if warm_start is None:
+        # round-5 measured: warm-start helps at C<=256 (24.5 vs 27.2 ms at
+        # 20k tris) but REGRESSES at C=1024 (65 -> 130 ms at 328k — a
+        # Mosaic scheduling pathology with large-C pre-loop folds, fold
+        # counts unchanged), so the default keys on the fold width.
+        env = os.environ.get("PT_KERNEL_WARM")
+        warm_start = int(env) if env is not None else (2 if C <= 256 else 0)
+    if unroll is None:
+        # r3 sweep: u8 == u4 at 20k tris and 4% faster at 328k; with
+        # NS=2 the bit budget allows u11, measured best at both scales
+        # (22.9 ms at 20k, 58.6 at 328k). Env knob for TPU sweeps.
+        env = os.environ.get("PT_KERNEL_UNROLL")
+        if M <= 4:
+            unroll = 2
+        elif env is not None:
+            unroll = int(env)
+        else:
+            unroll = 23 // ray_groups if ray_groups > 1 else 8
     unroll = max(1, min(unroll, 23 // ray_groups))
+    if fold_loop is None:
+        fold_loop = os.environ.get("PT_KERNEL_FOLDLOOP", "0") != "0"
     G = _TILE_GROUP
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
     K = cl_packed.shape[0] - 1
@@ -1047,7 +1096,8 @@ def dense_intersect_resident(ids, counts, entries, rays, cl_packed, boxes,
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc, fast=fast,
                      vis_band=float(vis_band), ray_groups=ray_groups,
-                     warm=warm_start, debug_folds=debug_folds),
+                     warm=warm_start, debug_folds=debug_folds,
+                     fold_loop=bool(fold_loop)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),

@@ -58,9 +58,10 @@ def timed(name, fn, *args, iters=8):
 def main():
     subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    csz = int(sys.argv[4]) if len(sys.argv) > 4 else None
     print("device:", jax.devices()[0], flush=True)
     scene = procedural.to_scene(procedural.colonnade(subdiv=subdiv))
-    bvh = build_bvh_for_scene(scene, 4)
+    bvh = build_bvh_for_scene(scene, 4, cluster_size=csz)
     td = make_trace_data(scene, as_fine(bvh))
     pdata = packets.make_packet_data(
         scene,
@@ -203,12 +204,15 @@ def main():
         return
 
     ref_t = ref_tri = None
-    for ns, u, w in sweep:
-        fn = jax.jit(lambda i_, c_, e_, r_, ns=ns, u=u, w=w:
+    for entry in sweep:
+        ns, u, w = entry[:3]
+        fl = bool(entry[3]) if len(entry) > 3 else False
+        fn = jax.jit(lambda i_, c_, e_, r_, ns=ns, u=u, w=w, fl=fl:
                      dr.dense_intersect_resident(
                          i_, c_, e_, r_, packed, boxes, pdata.num_tris,
-                         bw=True, unroll=u, ray_groups=ns, warm_start=w))
-        timed(f"real, NS={ns} unroll={u} warm={w}", fn,
+                         bw=True, unroll=u, ray_groups=ns, warm_start=w,
+                         fold_loop=fl))
+        timed(f"real, NS={ns} unroll={u} warm={w} fl={int(fl)}", fn,
               ids, counts, entries, rays)
         t_, tri_ = fn(ids, counts, entries, rays)
         if ref_t is None:
