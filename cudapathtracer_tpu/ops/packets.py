@@ -776,7 +776,7 @@ def trace_packets(o: Vec3, d: Vec3, pd: PacketData,
                 ids, counts, entries, rays, packed,
                 boxes, pd.num_tris, interpret=interpret,
                 bw=bw, vis_band=float(vis_band),
-                warm_start=warm_start,
+                warm_start=warm_start, ray_groups=ray_groups,
             )
         return _finish(o, d, t_best, tri_best, mask, U, fine_td, R, Tl, P,
                        t_cap=t_cap, intersector=intersector,

@@ -72,16 +72,27 @@ __all__ = [
 ]
 
 
-def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
+def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0,
+                 ray_groups=1):
+    """``ray_groups`` (round 5, ported from the resident kernel): gate and
+    fold the tile's rays in NS independent subgroups of P/NS consecutive
+    sorted rays. The DMA for a slot starts when ANY of its subgroups
+    gates in (ring slot = live-slot prefix); each subgroup then folds the
+    fetched block behind its own bit. Gate bits: unroll*NS member bits +
+    1 exit bit must stay f32-exact (< 2^24)."""
     fold = fold or _mt_fold_pc
     assert unroll <= _NBUF
     assert fast <= _NBUF
+    NS = int(ray_groups)
+    assert unroll * NS + 1 <= 24, (unroll, NS)
 
     def _kernel(meta_ref, boxes_ref, rays_ref, slid_hbm, slent_hbm, cl_hbm,
                 out_ref, slid, slent, sl_sem, buf, sem):
         i = pl.program_id(0)
         num_tris = meta_ref[0]
         P = rays_ref.shape[2]
+        Ps = P // NS
+        assert P % (NS * 8) == 0, (P, NS)
         G = _TILE_GROUP
         W = slid.shape[1]
 
@@ -114,9 +125,15 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
             # points (see dense_resident._vis_drop)
             lo_col = tile[:, 7:8] - vis_band
 
+            def sub(col, j):
+                return col if NS == 1 else col[j * Ps:(j + 1) * Ps]
+
+            if NS > 1:
+                lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+                sg_masks = [lane_ids // Ps == j for j in range(NS)]
+
             def cond(carry):
-                s, done, t128, id128 = carry
-                return jnp.logical_not(done)
+                return jnp.logical_not(carry[1])
 
             # guarded reciprocals: a zero component would make the slab
             # test produce 0*inf = NaN, whose comparisons are False — the
@@ -132,17 +149,24 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
             idyr = _inv(row[4:5, :])
             idzr = _inv(row[5:6, :])
 
-            iota_u = jax.lax.broadcasted_iota(jnp.int32, (unroll, 1), 0)
+            def fold_sub(cl, j, tb, ib):
+                return fold(cl, sub(ox, j), sub(oy, j), sub(oz, j),
+                            sub(dx, j), sub(dy, j), sub(dz, j),
+                            tb, ib, num_tris)
 
             def body(carry):
-                s, done, t128, id128 = carry
+                s, done, slabs = carry
                 # Phase 1 — gate the whole group from SMEM boxes against
                 # the group-start running best (conservative), one scalar
                 # sync. The early-exit verdict rides the same bitmask as
-                # bit `unroll` (see dense_resident.py for the equivalence
-                # argument). Bool rows convert to f32 weights BEFORE the
-                # concat: Mosaic cannot relayout concatenated i1 vregs.
-                t_col = jnp.min(t128, axis=1, keepdims=True)
+                # bit `unroll*NS` (see dense_resident.py for the
+                # equivalence argument). Bool rows convert to f32 weights
+                # BEFORE the concat: Mosaic cannot relayout concatenated
+                # i1 vregs.
+                t_cols = [jnp.min(t128, axis=1, keepdims=True)
+                          for (t128, _) in slabs]
+                t_col = (jnp.concatenate(t_cols, axis=0)
+                         if NS > 1 else t_cols[0])
                 if vis_band > 0.0:
                     t_col = _vis_drop(t_col, lo_col)
                 t_row = jnp.transpose(t_col)               # (1, P)
@@ -152,35 +176,44 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
                     su = s + u
                     sid = slid[g, jnp.minimum(1 + su, W - 1)]
                     sids.append(sid)
+                    ok_u = su < cnt                        # scalar bool
                     box6 = tuple(
                         boxes_ref[sid >> 4, ((sid & 15) << 3) + j]
                         for j in range(6))  # 16 boxes per SMEM row
                     h = _box_hit_row(
                         box6, oxr, oyr, ozr, idxr, idyr, idzr, t_row)
-                    wts.append(jnp.where(h, jnp.float32(1 << u), 0.0))
+                    if NS == 1:
+                        wts.append(jnp.where(
+                            h & ok_u, jnp.float32(1 << u), 0.0))
+                    else:
+                        hm = h & ok_u
+                        for j in range(NS):
+                            wts.append(jnp.where(
+                                hm & sg_masks[j],
+                                jnp.float32(1 << (u * NS + j)), 0.0))
                 # >= (non-strict): equal-t lower-index contract
                 entry_s0 = slent[g, jnp.minimum(s, W - 1)]
                 wts.append(jnp.where(t_row >= entry_s0,
-                                     jnp.float32(1 << unroll), 0.0))
-                wt = jnp.concatenate(wts, axis=0)        # (unroll+1, P) f32
-                in_range = (s + iota_u) < cnt
-                rng1 = jnp.concatenate(
-                    [in_range.astype(jnp.float32),
-                     jnp.ones((1, 1), jnp.float32)], axis=0)
-                wt = wt * rng1
+                                     jnp.float32(1 << (unroll * NS)), 0.0))
+                wt = jnp.concatenate(wts, axis=0)  # (unroll*NS+1, P) f32
                 bits = jnp.sum(
                     jnp.max(wt, axis=1, keepdims=True)
                 ).astype(jnp.int32)
 
-                # Phase 2 — start every gated-in fetch (ring slot = live
-                # prefix), then fold in order; fold u hides wait u+1.
+                # Phase 2 — start every gated-in fetch (slot live = ANY
+                # subgroup bit; ring slot = live prefix), then fold in
+                # order; fold u hides wait u+1.
+                smask = (1 << NS) - 1
                 bvals = []
                 pfx = []
                 acc = jnp.int32(0)
                 for u in range(unroll):
-                    bvals.append((bits >> u) & 1)
+                    live = jnp.where(
+                        ((bits >> (u * NS)) & smask) != 0,
+                        jnp.int32(1), jnp.int32(0))
+                    bvals.append(live)
                     pfx.append(acc)
-                    acc = acc + bvals[u]
+                    acc = acc + live
 
                 for u in range(unroll):
                     @pl.when(bvals[u] != 0)
@@ -189,26 +222,39 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
                             cl_hbm.at[sids[u]], buf.at[pfx[u]],
                             sem.at[pfx[u]]).start()
 
+                new_slabs = list(slabs)
                 for u in range(unroll):
-                    def do_fold(tb, ib, u=u):
+                    @pl.when(bvals[u] != 0)
+                    def _(u=u):
                         pltpu.make_async_copy(
                             cl_hbm.at[sids[u]], buf.at[pfx[u]],
                             sem.at[pfx[u]]).wait()
-                        cl = buf[pfx[u]]               # (16, C) VMEM
-                        return fold(
-                            cl, ox, oy, oz, dx, dy, dz, tb, ib, num_tris)
 
-                    t128, id128 = jax.lax.cond(
-                        bvals[u] != 0,
-                        do_fold,
-                        lambda tb, ib: (tb, ib),
-                        t128, id128,
-                    )
+                    for j in range(NS):
+                        tj, ij = new_slabs[j]
+
+                        def do_fold(tb, ib, u=u, j=j):
+                            cl = buf[pfx[u]]           # (16, C) VMEM
+                            return fold_sub(cl, j, tb, ib)
+
+                        new_slabs[j] = jax.lax.cond(
+                            (bits & (1 << (u * NS + j))) != 0,
+                            do_fold,
+                            lambda tb, ib: (tb, ib),
+                            tj, ij,
+                        )
 
                 nxt = s + unroll
                 exhausted = nxt >= cnt
-                no_open = (bits >> unroll) == 0
-                return (nxt, exhausted | no_open, t128, id128)
+                no_open = (bits >> (unroll * NS)) == 0
+                return (nxt, exhausted | no_open, tuple(new_slabs))
+
+            def _cat_outs(slabs):
+                outs = [_slab_reduce(tb, ib) for (tb, ib) in slabs]
+                if NS == 1:
+                    return outs[0]
+                return (jnp.concatenate([o[0] for o in outs], axis=0),
+                        jnp.concatenate([o[1] for o in outs], axis=0))
 
             # COUNT LADDER (ported from the resident kernel, r4): tiles
             # with cnt <= `fast` DMA and fold exactly their cnt blocks
@@ -229,18 +275,20 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
                         pltpu.make_async_copy(
                             cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
                         ).start()
-                    tb, ib = _slab_init(t0, i0)
+                    tbs = [_slab_init(sub(t0, j), sub(i0, j))
+                           for j in range(NS)]
                     for u in range(n):
                         pltpu.make_async_copy(
                             cl_hbm.at[fsids[u]], buf.at[u], sem.at[u]
                         ).wait()
-                        tb, ib = fold(buf[u], ox, oy, oz, dx, dy, dz,
-                                      tb, ib, num_tris)
-                    return _slab_reduce(tb, ib)
+                        tbs = [fold_sub(buf[u], j, tb, ib)
+                               for j, (tb, ib) in enumerate(tbs)]
+                    return _cat_outs(tbs)
                 return fast_tile
 
             def loop_tile(t0, i0):
-                t128, id128 = _slab_init(t0, i0)
+                slabs0 = [_slab_init(sub(t0, j), sub(i0, j))
+                          for j in range(NS)]
                 # WARM START (round 5, see dense_resident.py): fold the
                 # first `warm` entry-sorted slots ungated so the loop's
                 # gated groups see a hit-informed t instead of the init
@@ -259,11 +307,11 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
                         pltpu.make_async_copy(
                             cl_hbm.at[wsids[u]], buf.at[u], sem.at[u]
                         ).wait()
-                        t128, id128 = fold(buf[u], ox, oy, oz, dx, dy, dz,
-                                           t128, id128, num_tris)
-                init = (jnp.int32(wN), cnt == 0, t128, id128)
-                _, _, tb, ib = jax.lax.while_loop(cond, body, init)
-                return _slab_reduce(tb, ib)
+                        slabs0 = [fold_sub(buf[u], j, tb, ib)
+                                  for j, (tb, ib) in enumerate(slabs0)]
+                init = (jnp.int32(wN), cnt == 0, tuple(slabs0))
+                _, _, slabs = jax.lax.while_loop(cond, body, init)
+                return _cat_outs(slabs)
 
             branches = [lambda t0, i0: (t0, i0)]          # cnt == 0
             for n in range(1, fast + 1):
@@ -287,11 +335,12 @@ def _make_kernel(unroll, fold=None, fast=2, vis_band=0.0, warm=0):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "unroll", "bw", "fast",
-                                    "vis_band", "warm_start"))
+                                    "vis_band", "warm_start", "ray_groups"))
 def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
                     interpret: bool = False, unroll: int = _NBUF,
                     bw: bool = False, fast: int | None = None,
-                    vis_band: float = 0.0, warm_start: int | None = None):
+                    vis_band: float = 0.0, warm_start: int | None = None,
+                    ray_groups: int | None = None):
     """Run the DMA-pipelined dense intersection kernel.
 
     ids:       (Tl, M) i32 shortlist, sorted by conservative entry distance
@@ -311,10 +360,19 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
         # count-ladder width, same knob as the resident kernel (capped at
         # the ring depth: a fast branch's fetches must all be in flight)
         fast = min(_NBUF, int(os.environ.get("PT_KERNEL_FAST", "4")))
-    if warm_start is None:
-        warm_start = int(os.environ.get("PT_KERNEL_WARM", "0"))
     P = rays.shape[2]
     C = cl_packed.shape[2]
+    if warm_start is None:
+        # same policy as the resident kernel: warm only at small C (the
+        # C=1024 warm regression is a Mosaic codegen pathology)
+        env = os.environ.get("PT_KERNEL_WARM")
+        warm_start = int(env) if env is not None else (2 if C <= 256 else 0)
+    if ray_groups is None:
+        ray_groups = int(os.environ.get("PT_KERNEL_RAYGROUPS", "2"))
+    while ray_groups > 1 and P % (ray_groups * 8) != 0:
+        ray_groups //= 2
+    # the ring depth caps unroll at _NBUF; NS only multiplies gate bits
+    assert unroll * ray_groups + 1 <= 24
     G = _TILE_GROUP
     assert M <= MAX_SHORTLIST, f"max_clusters {M} > {MAX_SHORTLIST}"
     W = -(-(M + 1) // 128) * 128  # lane-aligned row width
@@ -360,7 +418,8 @@ def dense_intersect(ids, counts, entries, rays, cl_packed, boxes, num_tris,
     )
     out = pl.pallas_call(
         _make_kernel(unroll, _bw_fold_pc if bw else _mt_fold_pc,
-                     fast=fast, vis_band=float(vis_band), warm=warm_start),
+                     fast=fast, vis_band=float(vis_band), warm=warm_start,
+                     ray_groups=ray_groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, 2, P), jnp.float32),
         interpret=interpret,
