@@ -67,7 +67,8 @@ def main():
             sort_window=int(os.environ.get("BENCH_SORTWIN", "0")),
             cluster_size=(int(os.environ["BENCH_C"])
                           if "BENCH_C" in os.environ else None),
-            tile_size=int(os.environ.get("BENCH_TILE", "128")),
+            tile_size=(int(os.environ["BENCH_TILE"])
+                       if "BENCH_TILE" in os.environ else None),
             two_level_cull={"auto": None, "0": False, "1": True,
                             "super": "super"}[
                 os.environ.get("BENCH_TWO_LEVEL", "auto")],

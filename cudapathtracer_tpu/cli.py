@@ -235,7 +235,7 @@ def main(argv=None):
         sp.add_argument("--traversal", default="packets",
                         choices=["packets", "bvh", "brute"])
         sp.add_argument("--leaf-size", type=int, default=4)
-        sp.add_argument("--tile-size", type=int, default=256)
+        sp.add_argument("--tile-size", type=int, default=None)  # None = auto by scene size
         sp.add_argument("--cluster-size", type=int, default=None)
         sp.add_argument("--max-clusters", type=int, default=4095)
         sp.add_argument("--no-packet-sort", action="store_true")

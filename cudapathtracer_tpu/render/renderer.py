@@ -91,6 +91,20 @@ class PacketPrep(NamedTuple):
     boxes: jnp.ndarray | None
 
 
+def resolve_tile_size(cfg: RenderConfig, num_tris: int) -> int:
+    """cfg.tile_size, or the measured auto default (r5): P=256 up to
+    C=512 — ties P=128 in the subgroup-gated kernel and halves the
+    cull/sort tile count (61.1 vs 54.9 Mrays/s headline at 20k tris,
+    40.9 vs 36.0 at 82k) — but P=128 at C=1024, where the (256, 1024)
+    fold's temps and 256-lane early exit collapse the kernel (118.9 vs
+    58.4 ms per 1M-ray trace at 328k). The switch keys on the fold width
+    C, not the triangle count."""
+    if cfg.tile_size is not None:
+        return int(cfg.tile_size)
+    c = cfg.cluster_size or adaptive_cluster_size(num_tris)
+    return 256 if c <= 512 else 128
+
+
 def _resolve_engine(cfg: RenderConfig) -> str:
     engine = cfg.packet_engine
     if engine == "auto":
@@ -175,6 +189,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
         # (integrators/bdpt.py) with their own separately-measured knob
         rounds = (cfg.packet_rounds if cfg.integrator == "pt_nee"
                   else cfg.packet_rounds_bdpt)
+        ts_base = resolve_tile_size(cfg, scene.num_tris)
 
         def trace_fn(o, d, mask, t_cap=None, vis_band=0.0):
             # per-call-site tile size: visibility traces (vis_band > 0,
@@ -182,7 +197,7 @@ def make_trace_fn(scene, cfg: RenderConfig, bvh=None, prep=None):
             # subpath traces (cfg.tile_size_vis; None = shared)
             ts = (cfg.tile_size_vis
                   if vis_band > 0.0 and cfg.tile_size_vis is not None
-                  else cfg.tile_size)
+                  else ts_base)
             # occluded-lane dropout: decision-identical on or off (the
             # caller's band test can't distinguish the sentinel from the
             # true sub-floor hit); measured a small LOSS at bench scale,

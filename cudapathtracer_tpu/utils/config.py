@@ -37,14 +37,18 @@ class RenderConfig:
     #                                 updates stay sequential). Costs ~S x
     #                                 transient HBM for the in-flight rays.
     # packet-traversal knobs (ops/packets.py)
-    tile_size: int = 128            # rays per packet tile. P=128 beats 256
-    #                                 for pt_nee bounce traces at every scale
-    #                                 measured in r3 (43.2 vs 53.2 ms/trace at
-    #                                 20k tris, 81.5 vs 103 ms at 328k): the
-    #                                 (P, C) fold halves and the early exit
-    #                                 fires sooner over fewer lanes. BDPT's
-    #                                 batched 2R/4R traces prefer 256 (20.2 vs
-    #                                 16.3 Mrays/s) — bench.py sets it there.
+    tile_size: int | None = None    # rays per packet tile; None = AUTO by
+    #                                 scene size (render/renderer.py): with
+    #                                 the r5 subgroup-gated kernel P=256
+    #                                 ties P=128 at the kernel level for
+    #                                 small scenes and wins at the trace
+    #                                 level (half the cull/sort tiles:
+    #                                 61.1 vs 54.9 Mrays/s headline), but
+    #                                 COLLAPSES at sponza scale (kernel
+    #                                 118.9 vs 58.4 ms at 328k — the (P,C)
+    #                                 fold doubles and the early exit drags
+    #                                 over 256 lanes), so auto picks 256
+    #                                 for small scenes, 128 beyond.
     tile_size_vis: int | None = None  # per-call-site tile size for
     #                                 VISIBILITY traces (vis_band > 0 —
     #                                 BDPT's 4R connection batch): its

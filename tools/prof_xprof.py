@@ -44,17 +44,41 @@ def main():
     key = jax.random.PRNGKey(1234)
     prep = make_packet_prep(scene, cfg, bvh)
 
-    # warm up / compile outside the trace
-    st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg), spp,
-                          prep=prep)
-    float(np.asarray(st.img.x[0]))
-
+    mode = os.environ.get("PROF_MODE", "render")
     outdir = "/tmp/xprof_r5"
     os.system(f"rm -rf {outdir}")
-    with jax.profiler.trace(outdir):
+    if mode == "train":
+        # one jitted value_and_grad step of the inverse-rendering loss
+        # (the bench's train_step_ms workload, bench.py BENCH_TRAIN)
+        import dataclasses
+
+        from cudapathtracer_tpu.diff import render_grad as rg
+
+        tcfg = dataclasses.replace(cfg, width=256, height=256, spp=1,
+                                   samples_per_call=1, sample_batch=1,
+                                   reuse_primary_hit=False)
+        tcam = make_camera(pos=(0.0, 2.0, 3.4), width=256, height=256,
+                           focal_length=2.0)
+        target = rg.render_image_diff(scene, tcam, tcfg,
+                                      jax.random.PRNGKey(9), 1, bvh=bvh)
+        loss_fn = rg.make_loss_fn(scene, tcam, tcfg, key, 1, bvh=bvh)
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        p0 = rg.targets_of(scene)
+        loss, _ = step(p0, target)
+        float(np.asarray(loss))
+        with jax.profiler.trace(outdir):
+            loss, grads = step(p0, target)
+            float(np.asarray(loss))
+        spp_div = 1
+    else:
+        # warm up / compile outside the trace
         st = render_batch_jit(scene, bvh, cam, cfg, key, init_accum(cfg),
                               spp, prep=prep)
         float(np.asarray(st.img.x[0]))
+        with jax.profiler.trace(outdir):
+            st = render_batch_jit(scene, bvh, cam, cfg, key,
+                                  init_accum(cfg), spp, prep=prep)
+            float(np.asarray(st.img.x[0]))
 
     files = glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
     print("trace files:", files, flush=True)
