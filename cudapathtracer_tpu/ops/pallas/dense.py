@@ -61,7 +61,11 @@ from .dense_resident import (  # shared layout + math + constants
     pack_clusters_resident,
 )
 
-_NBUF = 4  # ring depth == unroll: a group's live slots all fit in flight
+_NBUF = int(os.environ.get("PT_DMA_RING", "8"))  # ring depth == max
+# unroll: a group's live slots all fit in flight. r5: 8 (was 4) — the
+# 1.31M-tri DMA workload is sync-bound like the resident kernel and a
+# deeper ring halves the per-group syncs; 8 x (16, C=1024) f32 buffers
+# are 512 KB of VMEM, well within budget.
 
 # re-exported for callers that treat this module as the packing authority
 pack_clusters = pack_clusters_resident
