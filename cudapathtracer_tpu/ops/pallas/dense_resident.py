@@ -740,6 +740,16 @@ def _make_kernel_super(F, groups, fold=None, fast=2, vis_band=0.0):
     group's first SUPER entry — a super's box contains its members', so
     its entry lower-bounds theirs and the exit argument of the cluster
     kernel carries over unchanged.
+
+    FEATURE BOUNDARY (r5, deliberate): the round-5 cluster-kernel levers
+    (ray_groups subgroup gating, warm_start, debug_folds) are NOT ported
+    here — this kernel's member gates are already per-ray and its bit
+    budget is consumed by groups*F member bits, and since the r4/r5 flat-
+    cull heuristic (flat up to K<=2048, adaptive C >= 512 at sponza scale)
+    no bench path reaches super mode; it remains the tested correctness
+    path for huge small-C scenes (tests/test_packets.py::
+    test_super_shortlist_exact). Port the levers before promoting it to a
+    hot path.
     """
     fold = fold or _mt_fold_pc
     assert groups * F + 1 <= 24, (groups, F)
