@@ -34,6 +34,16 @@ BASELINE_MRAYS = 512 * 512 * 100 * 4 / (1170.0 * 1000.0)  # 89.61
 def main():
     import jax
 
+    # persistent compile cache: 1024^2 trace compiles are minutes each
+    # through the remote-TPU tunnel; the cache makes re-runs (the driver's
+    # end-of-round bench after a tuning session) near-instant. Must be set
+    # via jax.config AFTER import — env vars alone don't reach the
+    # already-initialized axon backend path.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from cudapathtracer_tpu import RenderConfig, init_accum, make_camera
     from cudapathtracer_tpu.models import procedural
     from cudapathtracer_tpu.render.renderer import (
